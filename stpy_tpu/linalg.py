@@ -1,0 +1,158 @@
+"""Dense linear algebra for GP fits: Cholesky with jitter policy, triangular
+solves, rank-1 (Woodbury/Schur) updates, and iterative helpers.
+
+Replaces the reference's torch lstsq/LU path (stpy/continuous_processes/
+gauss_procc.py:367-378) and pinverse precompute (kernelized_features.py:
+237-240) with Cholesky factorizations — O(n³/3), MXU-friendly, reused across
+mean/variance/sampling. The jitter ladder makes f32 factorizations of nearly
+singular Grams robust (the reference runs f64 and never needs this).
+Everything is jit-safe: the retry loop is a `lax.while_loop` with a bounded
+ladder, and failure is reported as a returned flag, not an exception
+(SURVEY.md §5: solver status surfaced as flags under jit).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stpy_tpu.config import default_jitter
+
+
+class CholResult(NamedTuple):
+    L: jnp.ndarray          # lower-triangular factor of K + jitter*I
+    jitter: jnp.ndarray     # jitter actually used (scalar)
+    ok: jnp.ndarray         # bool: factorization succeeded
+
+
+def safe_cholesky(K: jnp.ndarray, jitter: float | None = None,
+                  max_tries: int = 6) -> CholResult:
+    """Cholesky of a PSD matrix with an escalating (10x) jitter ladder."""
+    n = K.shape[0]
+    base = default_jitter(K.dtype) if jitter is None else jitter
+    scale = jnp.mean(jnp.diagonal(K))
+    scale = jnp.where(scale <= 0, 1.0, scale)
+    eye = jnp.eye(n, dtype=K.dtype)
+
+    def attempt(j):
+        L = jnp.linalg.cholesky(K + j * scale * eye)
+        ok = jnp.all(jnp.isfinite(L))
+        return L, ok
+
+    def cond(state):
+        _, ok, j, t = state
+        return jnp.logical_and(~ok, t < max_tries)
+
+    def body(state):
+        _, _, j, t = state
+        j = j * 10.0
+        L, ok = attempt(j)
+        return L, ok, j, t + 1
+
+    L0, ok0 = attempt(jnp.asarray(base, K.dtype))
+    L, ok, j, _ = jax.lax.while_loop(
+        cond, body, (L0, ok0, jnp.asarray(base, K.dtype), jnp.asarray(0))
+    )
+    return CholResult(L=L, jitter=j * scale, ok=ok)
+
+
+def cho_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) x = b given lower Cholesky factor L."""
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def tri_solve(L: jnp.ndarray, b: jnp.ndarray, lower: bool = True) -> jnp.ndarray:
+    return jax.scipy.linalg.solve_triangular(L, b, lower=lower)
+
+
+def solve_psd(K: jnp.ndarray, b: jnp.ndarray, jitter: float | None = None):
+    """One-shot PSD solve; returns (x, CholResult)."""
+    res = safe_cholesky(K, jitter)
+    return cho_solve(res.L, b), res
+
+
+def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+
+def chol_rank1_update(L: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky factor of (L L^T + v v^T) in O(n²) (scan over rows).
+
+    Used for `add_data_point` incremental refits (parity:
+    stpy/continuous_processes/kernelized_features.py:186-222 does the
+    analogous Woodbury/Schur bookkeeping)."""
+    n = L.shape[0]
+    idx = jnp.arange(n)
+
+    def body(carry, k):
+        L, v = carry
+        Lkk = L[k, k]
+        vk = v[k]
+        r = jnp.sqrt(Lkk**2 + vk**2)
+        c = r / Lkk
+        s = vk / Lkk
+        col = L[:, k]
+        below = idx > k
+        newcol = jnp.where(idx == k, r, jnp.where(below, (col + s * v) / c, col))
+        v = jnp.where(below, c * v - s * newcol, v)
+        L = L.at[:, k].set(newcol)
+        return (L, v), None
+
+    (L, _), _ = jax.lax.scan(body, (L, v), jnp.arange(n))
+    return L
+
+
+def woodbury_inv_update(Vinv: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """(V + u u^T)^{-1} from V^{-1} via Sherman–Morrison (primal rank-1
+    update, parity: kernelized_features.py:199-206)."""
+    Vu = Vinv @ u
+    denom = 1.0 + u @ Vu
+    return Vinv - jnp.outer(Vu, Vu) / denom
+
+
+def schur_complement_extend(Kinv: jnp.ndarray, k_new: jnp.ndarray,
+                            k_nn: jnp.ndarray):
+    """Inverse of the (n+1)x(n+1) Gram given the n x n inverse (dual rank-1
+    growth; parity: kernelized_features.py:186-198). Returns the extended
+    inverse (capacity handling is the caller's job under jit)."""
+    a = Kinv @ k_new
+    s = k_nn - k_new @ a
+    s = jnp.where(jnp.abs(s) < 1e-12, 1e-12, s)
+    top = Kinv + jnp.outer(a, a) / s
+    n = Kinv.shape[0]
+    out = jnp.zeros((n + 1, n + 1), Kinv.dtype)
+    out = out.at[:n, :n].set(top)
+    out = out.at[:n, n].set(-a / s)
+    out = out.at[n, :n].set(-a / s)
+    out = out.at[n, n].set(1.0 / s)
+    return out
+
+
+def power_iteration(A: jnp.ndarray, iters: int = 50, key=None) -> jnp.ndarray:
+    """Top eigenvalue of a symmetric PSD matrix (replaces scipy eigsh at
+    stpy/sampling/langevin.py:14 and poisson_rate_estimator.py:373)."""
+    n = A.shape[0]
+    v0 = jnp.ones((n,), A.dtype) / jnp.sqrt(n)
+    if key is not None:
+        v0 = jax.random.normal(key, (n,), A.dtype)
+        v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(v, _):
+        w = A @ v
+        v = w / (jnp.linalg.norm(w) + 1e-30)
+        return v, None
+
+    v, _ = jax.lax.scan(body, v0, None, length=iters)
+    return v @ (A @ v)
+
+
+def symsqrt(A: jnp.ndarray, inv: bool = False, eps: float = 1e-12):
+    """Symmetric (inverse) square root via eigh (replaces scipy sqrtm,
+    stpy/embeddings/positive_embedding.py:69-71)."""
+    w, V = jnp.linalg.eigh(A)
+    w = jnp.clip(w, eps, None)
+    s = jnp.where(inv, 1.0 / jnp.sqrt(w), jnp.sqrt(w))
+    return (V * s) @ V.T

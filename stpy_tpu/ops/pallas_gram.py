@@ -1,0 +1,210 @@
+"""Fused pairwise-distance → kernel-shape Gram construction as a Pallas TPU
+kernel.
+
+This replaces the reference's torch Gram hot loop (stpy/kernels.py:368-393,
+811-860): one MXU matmul per (TM, TN) tile computes the cross-products, the
+VPU fuses the rank-1 norm corrections and the exp/Matérn shape in-register,
+and the tile is written once to HBM — no materialized (n, m, d) differences
+and no separate distance matrix round-trip through HBM.
+
+FLOP analysis per tile: 2·TM·TN·D matmul FLOPs on the MXU + O(TM·TN)
+transcendentals on the VPU; bytes ≈ (TM·D + TN·D + TM·TN)·4. For n = m = 16k,
+D = 128 this is arithmetic-intensity ≈ 64 FLOP/byte on the matmul part —
+HBM-bound only on the output write, which is unavoidable.
+
+Differentiability: wrapped in `jax.custom_vjp`; the backward pass recomputes
+the needed pieces with plain jnp (used only in hyperopt at modest n).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stpy_tpu.kernels import functions as F
+
+_SQRT3 = math.sqrt(3.0)
+_SQRT5 = math.sqrt(5.0)
+
+# distance eps: keeps sqrt differentiable / non-nan at coincident points
+_EPS = 1e-30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _shape_fn(family: str, nu: float):
+    """Map squared scaled distance -> kernel value (runs on the VPU)."""
+    if family == "se":
+        return lambda sq: jnp.exp(-0.5 * sq)
+    if family == "matern":
+        if nu == 0.5:
+            return lambda sq: jnp.exp(-jnp.sqrt(sq + _EPS))
+        if nu == 1.5:
+            def f(sq):
+                k = _SQRT3 * jnp.sqrt(sq + _EPS)
+                return (1.0 + k) * jnp.exp(-k)
+            return f
+        if nu == 2.5:
+            def f(sq):
+                k = _SQRT5 * jnp.sqrt(sq + _EPS)
+                return (1.0 + k + k * k / 3.0) * jnp.exp(-k)
+            return f
+        raise NotImplementedError(f"matern nu={nu}")
+    raise NotImplementedError(f"family={family}")
+
+
+def _gram_kernel(kappa_ref, x_ref, y_ref, o_ref, *, shape_fn):
+    xb = x_ref[:]                                   # (TM, D)
+    yb = y_ref[:]                                   # (TN, D)
+    prod = jax.lax.dot_general(
+        xb, yb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # (TM, TN) on the MXU
+    nx = jnp.sum(xb * xb, axis=1, keepdims=True)    # (TM, 1)
+    ny = jnp.sum(yb * yb, axis=1, keepdims=True).T  # (1, TN)
+    sq = jnp.maximum(nx + ny - 2.0 * prod, 0.0)
+    o_ref[:] = (kappa_ref[0, 0] * shape_fn(sq)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("family", "nu", "block_m", "block_n", "interpret")
+)
+def _gram_pallas(
+    xs, ys, kappa,
+    *, family: str, nu: float, block_m: int, block_n: int, interpret: bool,
+):
+    n, d = xs.shape
+    m = ys.shape[0]
+    dp = _round_up(max(d, 1), 128)
+    np_, mp = _round_up(n, block_m), _round_up(m, block_n)
+    xs = jnp.pad(xs, ((0, np_ - n), (0, dp - d))).astype(jnp.float32)
+    ys = jnp.pad(ys, ((0, mp - m), (0, dp - d))).astype(jnp.float32)
+
+    shape_fn = _shape_fn(family, nu)
+    kern = functools.partial(_gram_kernel, shape_fn=shape_fn)
+    kappa_arr = jnp.asarray(kappa, dtype=jnp.float32).reshape(1, 1)
+    out = pl.pallas_call(
+        kern,
+        grid=(np_ // block_m, mp // block_n),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, dp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, dp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * mp * dp + 8 * np_ * mp,
+            bytes_accessed=4 * (np_ * dp + mp * dp + np_ * mp),
+            transcendentals=np_ * mp,
+        ),
+        interpret=interpret,
+    )(kappa_arr, xs, ys)
+    return out[:n, :m]
+
+
+def _gram_jnp(xs, ys, kappa, family, nu):
+    sq = F.sq_dist(xs, ys)
+    return kappa * _shape_fn(family, nu)(sq)
+
+
+def _use_pallas(n, m):
+    return jax.default_backend() == "tpu"
+
+
+# --- differentiable entry points ------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gram(xs, ys, gamma, kappa, family, nu):
+    """Gram of pre-grouped inputs with scalar (or per-dim) lengthscale."""
+    xs_, ys_ = xs / gamma, ys / gamma
+    n, m = xs.shape[0], ys.shape[0]
+    if _use_pallas(n, m):
+        return _gram_pallas(
+            xs_, ys_, kappa, family=family, nu=float(nu),
+            block_m=256, block_n=256, interpret=False,
+        ).astype(xs.dtype)
+    return _gram_jnp(xs_, ys_, kappa, family, nu)
+
+
+def _gram_fwd(xs, ys, gamma, kappa, family, nu):
+    out = _gram(xs, ys, gamma, kappa, family, nu)
+    return out, (xs, ys, gamma, kappa)
+
+
+def _gram_bwd(family, nu, res, g):
+    """Backward via the closed-form dK/dsq; plain jnp (hyperopt-scale n)."""
+    xs, ys, gamma, kappa = res
+    xs_, ys_ = xs / gamma, ys / gamma
+    sq = F.sq_dist(xs_, ys_)
+    if family == "se":
+        K = jnp.exp(-0.5 * sq)
+        dK_dsq = -0.5 * K
+    elif family == "matern":
+        r = jnp.sqrt(sq + _EPS)
+        if nu == 0.5:
+            K = jnp.exp(-r)
+            dK_dsq = -K / (2.0 * r)
+        elif nu == 1.5:
+            k = _SQRT3 * r
+            K = (1.0 + k) * jnp.exp(-k)
+            dK_dsq = -1.5 * jnp.exp(-k)  # dK/dsq = -(3/2) e^{-sqrt3 r}
+        elif nu == 2.5:
+            k = _SQRT5 * r
+            K = (1.0 + k + k * k / 3.0) * jnp.exp(-k)
+            dK_dsq = -(5.0 / 6.0) * (1.0 + k) * jnp.exp(-k)
+        else:
+            raise NotImplementedError
+    else:
+        raise NotImplementedError
+    gk = g * kappa
+    W = gk * dK_dsq                                     # (n, m)
+    # d sq / d xs_ = 2 (xs_i - ys_j); chain through the 1/gamma scaling
+    row = jnp.sum(W, axis=1, keepdims=True)
+    col = jnp.sum(W, axis=0, keepdims=True)
+    d_xs = (2.0 * (row * xs_ - W @ ys_)) / gamma
+    d_ys = (2.0 * (col.T * ys_ - W.T @ xs_)) / gamma
+    # gamma: sq depends on gamma via xs_/ys_; d sq/d gamma = -2 sq / gamma
+    if jnp.ndim(gamma) == 0:
+        d_gamma = jnp.sum(W * (-2.0 * sq)) / gamma
+    else:  # per-dim lengthscale (ARD)
+        diff2 = (xs_[:, None, :] - ys_[None, :, :]) ** 2
+        d_gamma = jnp.einsum("nm,nmd->d", W, -2.0 * diff2) / gamma
+    d_kappa = jnp.sum(g * K)
+    return d_xs, d_ys, d_gamma, d_kappa
+
+
+_gram.defvjp(_gram_fwd, _gram_bwd)
+
+
+# --- public API -------------------------------------------------------------
+
+def gram_se(x, y, gamma, kappa=1.0):
+    """Fused SE Gram: kappa * exp(-||x-y||^2/(2 gamma^2)); gamma scalar or
+    per-dim (ARD)."""
+    return _gram(x, y, gamma, kappa, "se", 1.0)
+
+
+def gram_matern(x, y, gamma, kappa=1.0, nu=1.5):
+    """Fused Matérn Gram for nu in {0.5, 1.5, 2.5}."""
+    return _gram(x, y, gamma, kappa, "matern", nu)
+
+
+def gram(x, y, *, family="se", gamma=1.0, kappa=1.0, nu=1.5):
+    if family == "se" or family == "ard":
+        return gram_se(x, y, gamma, kappa)
+    if family == "matern":
+        return gram_matern(x, y, gamma, kappa, nu)
+    raise NotImplementedError(family)

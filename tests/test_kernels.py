@@ -1,0 +1,205 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stpy_tpu.kernels import KernelFunction, functions as F
+from stpy_tpu.ops.pallas_gram import _gram_jnp, _gram_pallas
+
+
+def _np_se(x, y, gamma, kappa=1.0):
+    d2 = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    return kappa * np.exp(-0.5 * d2 / gamma**2)
+
+
+@pytest.fixture
+def xy():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((17, 3)), rng.standard_normal((11, 3))
+
+
+def test_se_matches_dense_formula(xy):
+    x, y = xy
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.7, d=3)
+    K = k.cross(x, y)
+    assert np.allclose(K, _np_se(x, y, 0.7), atol=1e-10)
+    # reference convention is transposed
+    assert np.allclose(k.kernel(x, y), _np_se(x, y, 0.7).T, atol=1e-10)
+
+
+def test_ard_kernel(xy):
+    x, y = xy
+    g = np.array([0.5, 1.0, 2.0])
+    k = KernelFunction(kernel_name="ard", d=3, ard_gamma=g)
+    K = k.cross(x, y)
+    d2 = (((x / g)[:, None, :] - (y / g)[None, :, :]) ** 2).sum(-1)
+    assert np.allclose(K, np.exp(-0.5 * d2), atol=1e-10)
+
+
+@pytest.mark.parametrize("nu", [0.5, 1.5, 2.5])
+def test_matern_kernels(xy, nu):
+    x, y = xy
+    k = KernelFunction(kernel_name="matern", gamma=0.9, nu=nu, d=3)
+    K = np.asarray(k.cross(x, y))
+    r = np.sqrt(((x[:, None] - y[None]) ** 2).sum(-1)) / 0.9
+    if nu == 0.5:
+        ref = np.exp(-r)
+    elif nu == 1.5:
+        ref = (1 + np.sqrt(3) * r) * np.exp(-np.sqrt(3) * r)
+    else:
+        ref = (1 + np.sqrt(5) * r + 5 * r**2 / 3) * np.exp(-np.sqrt(5) * r)
+    assert np.allclose(K, ref, atol=1e-7)
+
+
+def test_laplace_linear_poly(xy):
+    x, y = xy
+    kl = KernelFunction(kernel_name="laplace", gamma=1.3, d=3)
+    ref = np.exp(-np.abs(x[:, None] - y[None]).sum(-1) / 1.3**2)
+    assert np.allclose(kl.cross(x, y), ref, atol=1e-10)
+
+    klin = KernelFunction(kernel_name="linear", d=3, kappa=2.0, offset=0.5)
+    assert np.allclose(klin.cross(x, y), 2.0 * x @ y.T + 0.5, atol=1e-10)
+
+    kp = KernelFunction(kernel_name="polynomial", d=3, power=3)
+    assert np.allclose(kp.cross(x, y), (x @ y.T + 1) ** 3, atol=1e-8)
+
+
+def test_kernel_algebra_sum_product(xy):
+    x, y = xy
+    k1 = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=3)
+    k2 = KernelFunction(kernel_name="linear", d=3)
+    k = k1 + k2
+    ref = _np_se(x, y, 0.5) + x @ y.T
+    assert np.allclose(k.cross(x, y), ref, atol=1e-9)
+
+    k1 = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=3)
+    k2 = KernelFunction(kernel_name="polynomial", d=3, power=2)
+    kprod = k1 * k2
+    ref = _np_se(x, y, 0.5) * (x @ y.T + 1) ** 2
+    assert np.allclose(kprod.cross(x, y), ref, atol=1e-8)
+
+
+def test_group_restriction(xy):
+    x, y = xy
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.8, d=3,
+                       group=[0, 2])
+    ref = _np_se(x[:, [0, 2]], y[:, [0, 2]], 0.8)
+    assert np.allclose(k.cross(x, y), ref, atol=1e-10)
+
+
+def test_additive_groups_ard(xy):
+    x, y = xy
+    groups = [[0], [1, 2]]
+    k = KernelFunction(kernel_name="ard", d=3, groups=groups)
+    K = np.asarray(k.cross(x, y))
+    ref = 0.5 * (
+        _np_se(x[:, [0]], y[:, [0]], 1.0) + _np_se(x[:, 1:], y[:, 1:], 1.0)
+    )
+    assert np.allclose(K, ref, atol=1e-10)
+
+
+def test_step_wiener_vectorized(xy):
+    x = np.abs(xy[0])
+    y = np.abs(xy[1])
+    kw = KernelFunction(kernel_name="wiener", d=3)
+    ref = np.minimum(x[:, None], y[None]).sum(-1)
+    assert np.allclose(kw.cross(x, y), ref, atol=1e-10)
+
+    ks = KernelFunction(kernel_name="step", d=3)
+    ref2 = (x[:, None] + y[None] - np.abs(x[:, None] - y[None])).sum(-1)
+    assert np.allclose(ks.cross(x, y), ref2, atol=1e-10)
+
+
+def test_spectral_kernel():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((5, 1))
+    y = rng.standard_normal((4, 1))
+    freq = rng.standard_normal((7, 1))
+    k = KernelFunction(kernel_name="spectral", d=1, freq=freq)
+    K = np.asarray(k.cross(x, y))
+    ref = np.mean(np.cos((x[:, None, :] - y[None, :, :]) @ freq.T), axis=-1)
+    assert np.allclose(K, ref, atol=1e-9)
+
+
+def test_diag_matches_gram_diagonal(xy):
+    x, _ = xy
+    for name, kw in [
+        ("squared_exponential", dict(gamma=0.7)),
+        ("linear", dict(kappa=1.5)),
+        ("matern", dict(gamma=1.1, nu=1.5)),
+    ]:
+        k = KernelFunction(kernel_name=name, d=3, **kw)
+        dg = np.asarray(k.diag(x))
+        G = np.asarray(k.gram(x))
+        assert np.allclose(dg, np.diagonal(G), atol=1e-7), name
+
+
+def test_gram_differentiable_wrt_gamma(xy):
+    x, y = xy
+    x, y = jnp.asarray(x), jnp.asarray(y)
+
+    def loss(g):
+        k = F.squared_exponential({"gamma": g, "kappa": 1.0}, x, y)
+        return jnp.sum(k)
+
+    g0 = jnp.asarray(0.7)
+    grad = jax.grad(loss)(g0)
+    eps = 1e-6
+    fd = (loss(g0 + eps) - loss(g0 - eps)) / (2 * eps)
+    assert np.allclose(grad, fd, rtol=1e-4)
+
+
+def test_pallas_gram_custom_vjp_matches_autodiff(xy):
+    """The custom_vjp backward (used when forward is Pallas) must equal
+    autodiff through the jnp path."""
+    from stpy_tpu.ops.pallas_gram import gram_se
+
+    x, y = jnp.asarray(xy[0]), jnp.asarray(xy[1])
+
+    def loss_custom(g, kap):
+        return jnp.sum(gram_se(x, y, g, kap) ** 2)
+
+    def loss_ref(g, kap):
+        return jnp.sum(
+            (kap * jnp.exp(-0.5 * F.sq_dist(x / g, y / g))) ** 2
+        )
+
+    g0, k0 = jnp.asarray(0.8), jnp.asarray(1.3)
+    ga, ka = jax.grad(loss_custom, argnums=(0, 1))(g0, k0)
+    gb, kb = jax.grad(loss_ref, argnums=(0, 1))(g0, k0)
+    assert np.allclose(ga, gb, rtol=1e-6)
+    assert np.allclose(ka, kb, rtol=1e-6)
+
+    # grads wrt inputs too
+    dx_a = jax.grad(lambda xx: jnp.sum(gram_se(xx, y, g0, k0) ** 2))(x)
+    dx_b = jax.grad(
+        lambda xx: jnp.sum((k0 * jnp.exp(-0.5 * F.sq_dist(xx / g0, y / g0))) ** 2)
+    )(x)
+    assert np.allclose(dx_a, dx_b, rtol=1e-6, atol=1e-10)
+
+
+def test_pallas_kernel_interpret_mode(xy):
+    """Run the actual Pallas kernel in interpreter mode on CPU and compare
+    with the dense jnp path."""
+    x, y = jnp.asarray(xy[0], jnp.float32), jnp.asarray(xy[1], jnp.float32)
+    for family, nu in [("se", 1.0), ("matern", 1.5), ("matern", 2.5)]:
+        out = _gram_pallas(
+            x, y, 1.0, family=family, nu=nu, block_m=8, block_n=128,
+            interpret=True,
+        )
+        ref = _gram_jnp(x, y, 1.0, family, nu)
+        assert np.allclose(out, ref, atol=1e-5), family
+
+
+def test_se_analytic_derivatives(xy):
+    x, y = xy
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    p = {"gamma": jnp.asarray(0.9), "kappa": 1.0}
+    D1 = F.squared_exponential_derivative_1(p, x, y)
+    # compare against autodiff: d/dy_j k(x_i, y_j)
+    ref = jax.vmap(
+        lambda yj: jax.jacobian(
+            lambda yy: F.squared_exponential(p, x, yy[None, :])[:, 0]
+        )(yj)
+    )(y)  # (m, n, d)
+    assert np.allclose(D1, jnp.transpose(ref, (1, 0, 2)), atol=1e-8)
