@@ -21,6 +21,17 @@ import jax.numpy as jnp
 from stpy_tpu.config import default_jitter
 
 
+def chol_jittered(K: jnp.ndarray, jitter: float | None = None) -> jnp.ndarray:
+    """Single fixed-jitter Cholesky — fully differentiable (no while_loop).
+    Use on gradient paths (evidence maximization); `safe_cholesky` with its
+    escalating ladder is for inference-time factorizations."""
+    n = K.shape[0]
+    base = default_jitter(K.dtype) if jitter is None else jitter
+    scale = jnp.mean(jnp.diagonal(K))
+    scale = jnp.where(scale <= 0, 1.0, scale)
+    return jnp.linalg.cholesky(K + base * scale * jnp.eye(n, dtype=K.dtype))
+
+
 class CholResult(NamedTuple):
     L: jnp.ndarray          # lower-triangular factor of K + jitter*I
     jitter: jnp.ndarray     # jitter actually used (scalar)

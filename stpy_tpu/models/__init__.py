@@ -1,0 +1,2 @@
+from stpy_tpu.models.estimator import Estimator
+from stpy_tpu.models.exact_gp import GaussianProcess

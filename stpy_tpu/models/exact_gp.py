@@ -1,0 +1,424 @@
+"""Exact Gaussian-process regression — the core model.
+
+Parity: stpy/continuous_processes/gauss_procc.py:18 (GaussianProcess) with
+fit_gp (:136), mean_std (:310), sample (:461), log_marginal (:497-638,
+squared + MAP/Laplace robust losses via Danskin), optimize_params (:640),
+ucb_optimize (:918), sample_and_max (:985).
+
+TPU-first design:
+  * fit = fused Pallas Gram + one Cholesky; mean/var/sample all reuse the
+    factor (the reference re-solves via lstsq per call, gauss_procc.py:367).
+  * predictive diag is vectorized (`kernel.diag`) — the reference loops
+    Python per test point (gauss_procc.py:347).
+  * no 10k chunking (gauss_procc.py:310-334): XLA streams HBM tiles; a 16k
+    x 16k predict fits comfortably on one chip.
+  * robust losses (huber/svr/unif) solve on-device with L-BFGS instead of
+    cvxpy+MOSEK; their evidence uses the same Danskin/Laplace construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stpy_tpu.config import as_array, default_dtype
+from stpy_tpu.kernels import KernelFunction
+from stpy_tpu.linalg import (
+    cho_solve,
+    logdet_from_chol,
+    safe_cholesky,
+    tri_solve,
+)
+from stpy_tpu.models.estimator import Estimator
+from stpy_tpu.opt.lbfgs import minimize_lbfgs
+
+
+class GaussianProcess(Estimator):
+    def __init__(
+        self, gamma=1.0, s=0.001, kappa=1.0,
+        kernel_name="squared_exponential", diameter=1.0, groups=None,
+        bounds=None, nu=1.5, kernel=None, d=1, power=2, lam=1.0,
+        loss="squared", huber_delta=1.35, hyper="classical", B=1.0,
+        svr_eps=0.1,
+    ):
+        self.s = s
+        self.d = d
+        self.x = None
+        self.y = None
+        self.mu = 0.0
+        self.lam = lam
+        self.total_bound = B
+        self.prob = 0.5
+        self.svr_eps = svr_eps
+        self.fitted = False
+        self.diameter = diameter
+        self.bounds = bounds
+        self.admits_first_order = False
+        self.loss = loss
+        self.huber_delta = huber_delta
+        self.hyper = hyper
+        self.beta_mult = 2.0  # ucb/lcb multiplier (reference hard-codes 2)
+
+        if kernel is not None:
+            self.kernel_object = kernel
+            self.d = kernel.d
+        else:
+            self.kernel_object = KernelFunction(
+                kernel_name=kernel_name, gamma=gamma, nu=nu, groups=groups,
+                kappa=kappa, power=power, d=d,
+            )
+        self.kernel = self.kernel_object.kernel  # reference-convention callable
+        self._fit_fn = None
+        self._predict_fn = None
+
+    # -- descriptions ----------------------------------------------------------
+    def description(self):
+        return self.kernel_object.description() + "\nlambda=" + str(self.s)
+
+    def embed(self, x):
+        return self.kernel_object.embed(x)
+
+    def get_basis_size(self):
+        return self.kernel_object.get_basis_size()
+
+    # -- fitting ---------------------------------------------------------------
+    def _build_jits(self):
+        kernel = self.kernel_object
+
+        def fit(x, y, params_dict, s):
+            n = x.shape[0]
+            K = kernel.eval_params(params_dict, x, x)
+            K = 0.5 * (K + K.T) + (s * s) * jnp.eye(n, dtype=K.dtype)
+            res = safe_cholesky(K)
+            alpha = cho_solve(res.L, y)
+            return res.L, alpha
+
+        def predict(L, alpha, x, xtest, params_dict):
+            K_star = kernel.eval_params(params_dict, xtest, x)  # (t, n)
+            mu = K_star @ alpha
+            V = tri_solve(L, K_star.T, lower=True)              # (n, t)
+            kss = kernel.diag(xtest, params_dict)
+            var = jnp.maximum(kss - jnp.sum(V * V, axis=0), 1e-30)
+            return mu, jnp.sqrt(var)[:, None]
+
+        def predict_full(L, alpha, x, xtest, params_dict):
+            K_star = kernel.eval_params(params_dict, xtest, x)
+            mu = K_star @ alpha
+            V = tri_solve(L, K_star.T, lower=True)
+            Kss = kernel.eval_params(params_dict, xtest, xtest)
+            cov = Kss - V.T @ V
+            return mu, cov
+
+        self._fit_fn = jax.jit(fit)
+        self._predict_fn = jax.jit(predict)
+        self._predict_full_fn = jax.jit(predict_full)
+
+    def fit_gp(self, x, y, Sigma=None, iterative=False, extrapoint=False):
+        """Fit the GP: Gram + jittered Cholesky + solve. `Sigma` optionally
+        gives a per-point noise std matrix (K += Σ^TΣ as in
+        gauss_procc.py:163); default is isotropic s."""
+        x = as_array(x)
+        y = as_array(y).reshape(-1, 1)
+        self.n, self.d = x.shape
+        self.x, self.y = x, y
+        if self._fit_fn is None:
+            self._build_jits()
+        if Sigma is None:
+            self.L, self.A = self._fit_fn(
+                x, y, self.kernel_object.params_dict,
+                jnp.asarray(self.s, x.dtype),
+            )
+        else:
+            Sigma = as_array(Sigma)
+            K = self.kernel_object.gram(x) + Sigma.T @ Sigma
+            res = safe_cholesky(K)
+            self.L, self.A = res.L, cho_solve(res.L, y)
+        if self.loss != "squared":
+            self.A = self._robust_alpha()
+        self.fitted = True
+        return None
+
+    def fit(self, x=None, y=None):
+        if x is not None:
+            self.fit_gp(x, y)
+        else:
+            self.fit_gp(self.x, self.y)
+
+    def add_data_point(self, x, y, Sigma=None):
+        x, y = as_array(x), as_array(y).reshape(-1, 1)
+        if self.x is not None:
+            self.x = jnp.concatenate([self.x, x], axis=0)
+            self.y = jnp.concatenate([self.y, y], axis=0)
+        else:
+            self.x, self.y = x, y
+        self.fit_gp(self.x, self.y, Sigma=Sigma)
+
+    # -- robust-loss alpha fits (replace cvxpy/MOSEK; gauss_procc.py:211-289) --
+    def _loss_objective(self, K, y):
+        s, lam = self.s, self.lam
+        if self.loss == "huber":
+            delta = self.huber_delta
+
+            def obj(alpha):
+                r = (K @ alpha - y.ravel()) / s
+                a = jnp.abs(r)
+                hub = jnp.where(a <= delta, 0.5 * a**2, delta * (a - 0.5 * delta))
+                return jnp.sum(hub) + lam * alpha @ (K @ alpha)
+
+            return obj
+        if self.loss == "svr":
+            eps_i = self.svr_eps
+
+            def obj(alpha):
+                r = jnp.abs(K @ alpha - y.ravel()) - eps_i
+                # smoothed hinge (softplus sharpness 50) — keeps L-BFGS happy
+                return jnp.sum(jax.nn.softplus(50.0 * r) / 50.0) + lam * alpha @ (
+                    K @ alpha
+                )
+
+            return obj
+        if self.loss in ("unif", "unif_new"):
+            con = (
+                2 * self.total_bound * self.prob
+                / ((1 - self.prob) * np.sqrt(2 * np.pi * s**2))
+            )
+
+            def obj(alpha):
+                r = (K @ alpha - y.ravel()) ** 2 / (2 * s**2)
+                return jnp.sum(jax.nn.softplus(r + np.log(con))) + lam * (
+                    alpha @ alpha
+                )
+
+            return obj
+        raise AssertionError("Loss function not implemented.")
+
+    def _robust_alpha(self):
+        K = self.kernel_object.gram(self.x)
+        obj = self._loss_objective(K, self.y)
+        res = minimize_lbfgs(obj, jnp.zeros(self.n, K.dtype), max_iter=500)
+        return res.x[:, None]
+
+    # -- prediction ------------------------------------------------------------
+    def execute(self, xtest):
+        xtest = as_array(xtest)
+        K_star = (
+            self.kernel_object.cross(self.x, xtest).T if self.fitted else None
+        )
+        K_star_star = self.kernel_object.gram(xtest)
+        return (K_star, K_star_star)
+
+    def mean_std(self, xtest, full=False, reuse=False):
+        xtest = as_array(xtest)
+        if not self.fitted:
+            kd = self.kernel_object.diag(xtest)
+            zero = jnp.zeros((xtest.shape[0], 1), xtest.dtype)
+            if full:
+                return zero, self.kernel_object.gram(xtest)
+            return zero, jnp.sqrt(kd)[:, None]
+        if full:
+            return self._predict_full_fn(
+                self.L, self.A, self.x, xtest, self.kernel_object.params_dict
+            )
+        return self._predict_fn(
+            self.L, self.A, self.x, xtest, self.kernel_object.params_dict
+        )
+
+    def mean(self, xtest):
+        return self.mean_std(xtest)[0]
+
+    def residuals(self, x, y):
+        return self.mean(x) - as_array(y).reshape(-1, 1)
+
+    def norm(self):
+        if not self.fitted:
+            return None
+        K = self.kernel_object.gram(self.x)
+        return jnp.sqrt(self.A.T @ K @ self.A)[0, 0]
+
+    def beta(self, delta=1e-3, norm=1):
+        """Concentration parameter (parity: gauss_procc.py:186-193, computed
+        via Cholesky logdet instead of det for stability)."""
+        logdet = logdet_from_chol(self.L)
+        inner = 1.0 / delta + (logdet - 2 * self.n * jnp.log(self.s))
+        return self.s * norm + jnp.sqrt(2.0 * jnp.log(jnp.maximum(inner, 1.0 + 1e-9)))
+
+    def ucb(self, xtest):
+        mu, s = self.mean_std(xtest)
+        return mu + self.beta_mult * s
+
+    def lcb(self, xtest):
+        mu, s = self.mean_std(xtest)
+        return mu - self.beta_mult * s
+
+    # -- sampling ---------------------------------------------------------------
+    def sample(self, xtest, size=1, jitter=1e-8, key=None):
+        """Posterior (or prior if unfitted) path samples on a grid."""
+        xtest = as_array(xtest)
+        key = key if key is not None else jax.random.PRNGKey(
+            np.random.randint(2**31)
+        )
+        nn = xtest.shape[0]
+        if self.fitted:
+            mean, cov = self.mean_std(xtest, full=True)
+        else:
+            mean = jnp.zeros((nn, 1), xtest.dtype) + self.mu
+            cov = self.kernel_object.gram(xtest)
+        L = safe_cholesky(cov, jitter=jitter).L
+        z = jax.random.normal(key, (nn, size), dtype=xtest.dtype)
+        return mean + L @ z
+
+    def sample_and_max(self, xtest, size=1, key=None):
+        f = self.sample(xtest, size=size, key=key)
+        idx = jnp.argmax(f, axis=0)
+        val = jnp.max(f, axis=0)
+        return (as_array(xtest)[idx, :], val)
+
+    def log_probability(self, xtest, sample):
+        mu, cov = self.mean_std(xtest, full=True)
+        n = mu.shape[0]
+        res = safe_cholesky(cov)
+        diff = as_array(sample).reshape(-1, 1) - mu
+        alpha = cho_solve(res.L, diff)
+        return float(
+            -0.5 * (diff.T @ alpha)[0, 0]
+            - 0.5 * logdet_from_chol(res.L)
+            - 0.5 * n * jnp.log(2 * jnp.pi)
+        )
+
+    # -- evidence ---------------------------------------------------------------
+    def log_marginal(self, kernel, X, weight=1.0):
+        if self.loss == "squared":
+            return self._log_marginal_squared(kernel, X, weight)
+        return self._log_marginal_map(kernel, X, weight)
+
+    def _log_marginal_squared(self, kernel, X, weight):
+        return self.log_marginal_params(kernel, X, self.s, weight)
+
+    def _log_marginal_map(self, kernel, X, weight):
+        """MAP/Laplace evidence for robust losses via Danskin's theorem
+        (parity: gauss_procc.py:579-627): inner argmin is a stop-gradient,
+        outer gradient flows through the objective and the Laplace logdet."""
+        x, y = self.x, self.y
+        n = x.shape[0]
+        jitter = 1e-4
+        K = kernel.eval_params(X, x, x)
+        K = 0.5 * (K + K.T) + jitter * jnp.eye(n, dtype=K.dtype)
+        obj = self._loss_objective(K, y)
+        sol = minimize_lbfgs(obj, jnp.zeros(n, K.dtype), max_iter=300)
+        alpha = jax.lax.stop_gradient(sol.x)
+        H = jax.hessian(obj)(alpha)
+        H = H + 1e-8 * jnp.eye(n, dtype=K.dtype)
+        logdet = -0.5 * jnp.linalg.slogdet(H)[1] * weight
+        logprob = -0.5 * obj(alpha) + logdet
+        return -logprob
+
+    # -- hyperparameter presets (parity: gauss_procc.py:640-697) ----------------
+    def optimize_params(
+        self, type="bandwidth", restarts=10, regularizer=None, maxiter=200,
+        mingradnorm=1e-6, verbose=False, optimizer="lbfgs", scale=1.0,
+        weight=1.0, save=False, save_name="model.np", init_func=None,
+        bounds=None, parallel=False, cores=None, key=None,
+    ):
+        regularizer_func = None
+        if regularizer is not None:
+            kind, lam_r = regularizer[0], regularizer[1]
+            if kind == "spectral_norm":
+                regularizer_func = lambda xf: lam_r * jnp.sum(
+                    jnp.abs(1.0 / jnp.exp(xf))
+                )
+            elif kind == "lasso":
+                regularizer_func = lambda xf: lam_r * jnp.sum(
+                    jnp.abs(1.0 / jnp.exp(xf))
+                )
+
+        params = {}
+        if type == "bandwidth":
+            for pkey, d2 in self.kernel_object.params_dict.items():
+                if "gamma" in d2:
+                    params[pkey] = {"gamma": (init_func, None, bounds)}
+                elif "ard_gamma" in d2:
+                    params[pkey] = {"ard_gamma": (init_func, None, bounds)}
+        elif type == "bandwidth+noise":
+            for pkey, d2 in self.kernel_object.params_dict.items():
+                if "gamma" in d2:
+                    params[pkey] = {"gamma": (init_func, None, bounds)}
+                elif "ard_gamma" in d2:
+                    params[pkey] = {"ard_gamma": (init_func, None, bounds)}
+            params["likelihood"] = {"sigma": ((lambda sz: self.s), None, None)}
+        elif type == "kappa":
+            for pkey, d2 in self.kernel_object.params_dict.items():
+                if "kappa" in d2:
+                    params[pkey] = {"kappa": (init_func, None, bounds)}
+        elif type == "covariance":
+            for pkey, d2 in self.kernel_object.params_dict.items():
+                if "cov" in d2:
+                    params[pkey] = {"cov": (init_func, None, None)}
+        elif type == "groups":
+            from stpy_tpu.utils.groups import generate_groups
+
+            optimizer = "discrete"
+            d = self.kernel_object.d
+            for pkey, d2 in self.kernel_object.params_dict.items():
+                if self.kernel_object._atoms[int(pkey)].static.get("groups"):
+                    params[pkey] = {"groups": (None, generate_groups(d), None)}
+        else:
+            raise AttributeError("This quick-optimization is not implemented.")
+
+        return self.optimize_params_general(
+            params=params, restarts=restarts, optimizer=optimizer,
+            regularizer_func=regularizer_func, maxiter=maxiter,
+            mingradnorm=mingradnorm, verbose=verbose, scale=scale,
+            weight=weight, save=save, save_name=save_name, key=key,
+        )
+
+    # -- BO acquisition (parity: gauss_procc.py:918-1085) -----------------------
+    def ucb_optimize(self, beta=2.0, multistart=25, lcb=False, key=None,
+                     steps=200, lr=0.05):
+        """Maximize mu ± beta·sigma over self.bounds with vmapped multistart
+        projected Adam (replaces the scipy L-BFGS-B per-start loop)."""
+        assert self.bounds is not None, "ucb_optimize needs box bounds"
+        bounds = jnp.asarray(self.bounds, default_dtype()).reshape(self.d, 2)
+        key = key if key is not None else jax.random.PRNGKey(7)
+        sign = -1.0 if lcb else 1.0
+        L, A, x, pd = self.L, self.A, self.x, self.kernel_object.params_dict
+        kernel = self.kernel_object
+
+        def acq(pt):
+            K_star = kernel.eval_params(pd, pt[None, :], x)
+            mu = (K_star @ A)[0, 0]
+            V = tri_solve(L, K_star.T, lower=True)
+            kss = kernel.diag(pt[None, :], pd)[0]
+            var = jnp.maximum(kss - jnp.sum(V * V), 1e-30)
+            return sign * mu + beta * jnp.sqrt(var)
+
+        g = jax.grad(acq)
+
+        def ascend(pt0):
+            def body(pt, _):
+                pt = pt + lr * g(pt)
+                pt = jnp.clip(pt, bounds[:, 0], bounds[:, 1])
+                return pt, None
+
+            pt, _ = jax.lax.scan(body, pt0, None, length=steps)
+            return pt, acq(pt)
+
+        u = jax.random.uniform(
+            key, (multistart, self.d), dtype=default_dtype()
+        )
+        starts = bounds[:, 0] + u * (bounds[:, 1] - bounds[:, 0])
+        pts, vals = jax.jit(jax.vmap(ascend))(starts)
+        best = jnp.argmax(vals)
+        return pts[best], sign * vals[best]
+
+    def isin(self, ucb_of_point):  # pragma: no cover - parity stub
+        return True
+
+    # gradient of the posterior mean (parity: gauss_procc.py:446-459, autodiff)
+    def mean_gradient_hessian(self, xtest, hessian=False):
+        xtest = as_array(xtest).reshape(-1)
+        mu_fn = lambda pt: self.mean_std(pt[None, :])[0][0, 0]
+        nabla = jax.grad(mu_fn)(xtest)
+        if not hessian:
+            return nabla
+        return [nabla, jax.hessian(mu_fn)(xtest)]

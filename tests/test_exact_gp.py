@@ -1,0 +1,193 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stpy_tpu.kernels import KernelFunction
+from stpy_tpu.models import GaussianProcess
+
+
+def _np_posterior(x, y, xt, gamma, s):
+    """Plain-numpy float64 exact-GP posterior (the torch reference formulas,
+    gauss_procc.py:136-399, without torch)."""
+    def k(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return np.exp(-0.5 * d2 / gamma**2)
+
+    K = k(x, x) + s**2 * np.eye(len(x))
+    Ks = k(xt, x)
+    alpha = np.linalg.solve(K, y)
+    mu = Ks @ alpha
+    var = 1.0 - np.einsum("ij,ji->i", Ks, np.linalg.solve(K, Ks.T))
+    return mu, np.sqrt(np.maximum(var, 0))
+
+
+@pytest.fixture
+def data1d():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (40, 1))
+    y = np.sin(3 * x) + 0.05 * rng.standard_normal((40, 1))
+    xt = np.linspace(-1, 1, 64)[:, None]
+    return x, y, xt
+
+
+def test_posterior_matches_reference_formulas(data1d):
+    x, y, xt = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp.fit_gp(x, y)
+    mu, std = gp.mean_std(xt)
+    mu_ref, std_ref = _np_posterior(x, y, xt, 0.5, 0.1)
+    # north-star: posterior matches the reference to 1e-6 rtol (x64 on CPU)
+    assert np.allclose(mu[:, 0], mu_ref[:, 0], rtol=1e-6, atol=1e-8)
+    assert np.allclose(std[:, 0], std_ref, rtol=1e-6, atol=1e-7)
+
+
+def test_full_covariance_consistent_with_diag(data1d):
+    x, y, xt = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp.fit_gp(x, y)
+    mu_d, std = gp.mean_std(xt)
+    mu_f, cov = gp.mean_std(xt, full=True)
+    assert np.allclose(mu_d, mu_f, atol=1e-10)
+    assert np.allclose(np.diagonal(cov), std[:, 0] ** 2, atol=1e-8)
+
+
+def test_unfitted_prior(data1d):
+    _, _, xt = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    mu, std = gp.mean_std(xt)
+    assert np.allclose(mu, 0.0)
+    assert np.allclose(std, 1.0, atol=1e-10)
+
+
+def test_log_marginal_matches_closed_form(data1d):
+    x, y, _ = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp.fit_gp(x, y)
+    neg_lml = float(gp.log_marginal(gp.kernel_object, {}, 1.0))
+    # closed form (without 2pi constant, matching estimator.py:32)
+    K = np.asarray(gp.kernel_object.gram(x)) + 0.01 * np.eye(len(x))
+    sign, logdet = np.linalg.slogdet(K)
+    ref = 0.5 * (y.T @ np.linalg.solve(K, y))[0, 0] + 0.5 * logdet
+    assert neg_lml == pytest.approx(ref, rel=1e-5)
+
+
+def test_evidence_optimization_improves_and_recovers_scale(data1d):
+    x, y, _ = data1d
+    gp = GaussianProcess(gamma=2.5, s=0.05, d=1)
+    gp.fit_gp(x, y)
+    before = float(gp.log_marginal(gp.kernel_object, {}, 1.0))
+    gp.optimize_params(type="bandwidth", restarts=4, verbose=False)
+    after = float(gp.log_marginal(gp.kernel_object, {}, 1.0))
+    assert after <= before + 1e-8
+    g = float(gp.kernel_object.params_dict["0"]["gamma"])
+    assert 0.05 < g < 1.5  # sin(3x) has lengthscale well below 2.5
+
+
+def test_optimize_bandwidth_and_noise(data1d):
+    x, y, _ = data1d
+    gp = GaussianProcess(gamma=1.0, s=0.2, d=1)
+    gp.fit_gp(x, y)
+    gp.optimize_params(type="bandwidth+noise", restarts=3)
+    assert float(gp.s) > 0
+    assert float(gp.s) < 0.2  # true noise 0.05
+
+
+def test_sample_statistics(data1d):
+    x, y, xt = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp.fit_gp(x, y)
+    f = gp.sample(xt, size=2000, key=jax.random.PRNGKey(0))
+    mu, std = gp.mean_std(xt)
+    emp_mu = jnp.mean(f, axis=1)
+    emp_std = jnp.std(f, axis=1)
+    assert np.allclose(emp_mu, mu[:, 0], atol=0.1)
+    assert np.allclose(emp_std, std[:, 0], atol=0.1)
+
+
+def test_ucb_lcb_order(data1d):
+    x, y, xt = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp.fit_gp(x, y)
+    assert bool(jnp.all(gp.ucb(xt) >= gp.lcb(xt)))
+
+
+def test_ucb_optimize_finds_max(data1d):
+    x, y, _ = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1, bounds=[[-1.0, 1.0]])
+    gp.fit_gp(x, y)
+    pt, val = gp.ucb_optimize(beta=2.0, multistart=8)
+    # sin(3x) max on [-1,1] at x = pi/6 ~ 0.5236
+    assert abs(float(pt[0]) - np.pi / 6) < 0.15
+    grid = np.linspace(-1, 1, 200)[:, None]
+    assert float(val) >= float(jnp.max(gp.ucb(grid))) - 1e-2
+
+
+def test_add_data_point_refits(data1d):
+    x, y, xt = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp.fit_gp(x[:30], y[:30])
+    gp.add_data_point(x[30:], y[30:])
+    mu, _ = gp.mean_std(xt)
+    gp2 = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp2.fit_gp(x, y)
+    mu2, _ = gp2.mean_std(xt)
+    assert np.allclose(mu, mu2, atol=1e-8)
+
+
+def test_huber_loss_robust_to_outliers(data1d):
+    x, y, xt = data1d
+    y_corrupt = np.array(y)
+    y_corrupt[5] += 30.0  # gross outlier
+    gp_sq = GaussianProcess(gamma=0.5, s=0.1, d=1, lam=0.5)
+    gp_sq.fit_gp(x, y_corrupt)
+    gp_hub = GaussianProcess(gamma=0.5, s=0.1, d=1, loss="huber", lam=0.5)
+    gp_hub.fit_gp(x, y_corrupt)
+    clean_mu, _ = _np_posterior(x, y, xt, 0.5, 0.1)
+    err_sq = np.abs(np.asarray(gp_sq.mean(xt))[:, 0] - clean_mu[:, 0]).max()
+    err_hub = np.abs(np.asarray(gp_hub.mean(xt))[:, 0] - clean_mu[:, 0]).max()
+    assert err_hub < err_sq
+
+
+def test_map_log_marginal_runs_and_differentiable(data1d):
+    x, y, _ = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1, loss="huber")
+    gp.fit_gp(x, y)
+    val = gp.log_marginal(gp.kernel_object, {}, 1.0)
+    assert np.isfinite(float(val))
+
+    def f(g):
+        return gp.log_marginal(
+            gp.kernel_object, {"0": {"gamma": g}}, 1.0
+        )
+
+    grad = jax.grad(f)(jnp.asarray(0.5))
+    assert np.isfinite(float(grad))
+
+
+def test_kernel_algebra_gp(data1d):
+    """GP with k1*k2 + k3 composite kernel fits and predicts."""
+    x, y, xt = data1d
+    k = (
+        KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=1)
+        * KernelFunction(kernel_name="polynomial", power=2, d=1)
+        + KernelFunction(kernel_name="linear", d=1)
+    )
+    gp = GaussianProcess(kernel=k, s=0.1)
+    gp.fit_gp(x, y)
+    mu, std = gp.mean_std(xt)
+    assert mu.shape == (64, 1) and bool(jnp.all(jnp.isfinite(std)))
+
+
+def test_mean_gradient(data1d):
+    x, y, _ = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp.fit_gp(x, y)
+    pt = np.array([0.3])
+    g = gp.mean_gradient_hessian(pt)
+    eps = 1e-5
+    fd = (
+        float(gp.mean(np.array([[0.3 + eps]]))[0, 0])
+        - float(gp.mean(np.array([[0.3 - eps]]))[0, 0])
+    ) / (2 * eps)
+    assert float(g[0]) == pytest.approx(fd, rel=1e-4)
