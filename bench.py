@@ -1,0 +1,84 @@
+"""Benchmark: n=16k exact-GP fit + predict wall-time on one chip.
+
+The north-star metric from BASELINE.md: exact GP fit + posterior at n=16k in
+< 1 s on one v5e chip (Gram via the fused Pallas MXU kernel + Cholesky +
+solves, full 16k-point predictive mean/std), vs. the torch-CPU reference
+which chunks prediction at 10k rows and loops the predictive diagonal.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Timing method: the whole fit+predict is one jitted computation; we
+block on a device scalar to defeat async dispatch, and report the median of
+repeated runs (compile excluded).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stpy_tpu.kernels import KernelFunction
+from stpy_tpu.linalg import safe_cholesky, cho_solve, tri_solve_chunked
+
+N = 16384
+NTEST = 16384
+D = 8
+REPS = 5
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (N, D)), jnp.float32)
+    y = jnp.asarray(
+        np.sin(3 * np.asarray(x)[:, :1]) + 0.1 * rng.standard_normal((N, 1)),
+        jnp.float32,
+    )
+    xt = jnp.asarray(rng.uniform(-1, 1, (NTEST, D)), jnp.float32)
+
+    kernel = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=D)
+    pd = kernel.params_dict
+    s = 0.1
+
+    @jax.jit
+    def fit_predict(x, y, xt):
+        K = kernel.eval_params(pd, x, x)
+        K = 0.5 * (K + K.T) + (s * s) * jnp.eye(N, dtype=K.dtype)
+        L = safe_cholesky(K).L
+        alpha = cho_solve(L, y)
+        K_star = kernel.eval_params(pd, xt, x)
+        mu = K_star @ alpha
+        V = tri_solve_chunked(L, K_star.T, lower=True)
+        var = jnp.maximum(
+            kernel.diag(xt, pd) - jnp.sum(V * V, axis=0), 1e-30
+        )
+        # fold to scalars so the host blocks on the full computation
+        return jnp.sum(mu) + jnp.sum(var)
+
+    # warm-up / compile
+    float(fit_predict(x, y, xt))
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(fit_predict(x, y, xt))
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times))
+
+    # baseline: the reference publishes no numbers (BASELINE.md); the target
+    # set for this rebuild is < 1 s/chip, so report vs that 1 s budget.
+    print(
+        json.dumps(
+            {
+                "metric": "exact_gp_fit_predict_n16k_wall_time",
+                "value": round(wall, 4),
+                "unit": "s",
+                "vs_baseline": round(1.0 / wall, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

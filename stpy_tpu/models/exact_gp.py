@@ -29,6 +29,7 @@ from stpy_tpu.linalg import (
     logdet_from_chol,
     safe_cholesky,
     tri_solve,
+    tri_solve_chunked,
 )
 from stpy_tpu.models.estimator import Estimator
 from stpy_tpu.opt.lbfgs import minimize_lbfgs
@@ -97,7 +98,7 @@ class GaussianProcess(Estimator):
         def predict(L, alpha, x, xtest, params_dict):
             K_star = kernel.eval_params(params_dict, xtest, x)  # (t, n)
             mu = K_star @ alpha
-            V = tri_solve(L, K_star.T, lower=True)              # (n, t)
+            V = tri_solve_chunked(L, K_star.T, lower=True)      # (n, t)
             kss = kernel.diag(xtest, params_dict)
             var = jnp.maximum(kss - jnp.sum(V * V, axis=0), 1e-30)
             return mu, jnp.sqrt(var)[:, None]
@@ -105,7 +106,7 @@ class GaussianProcess(Estimator):
         def predict_full(L, alpha, x, xtest, params_dict):
             K_star = kernel.eval_params(params_dict, xtest, x)
             mu = K_star @ alpha
-            V = tri_solve(L, K_star.T, lower=True)
+            V = tri_solve_chunked(L, K_star.T, lower=True)
             Kss = kernel.eval_params(params_dict, xtest, xtest)
             cov = Kss - V.T @ V
             return mu, cov

@@ -1,0 +1,468 @@
+"""Feature-space GP / Bayesian ridge over an arbitrary finite embedding
+(`KernelizedFeatures`) — the O(n m²) fast path.
+
+Parity: stpy/continuous_processes/kernelized_features.py:12 — primal/dual
+auto-switch (:127-133), rank-one Woodbury/Schur updates for add_data_point
+(:186-222), theta_mean (:248), mean_std (:269), "theory" beta (:56-76),
+theta samplers (:319-336), Matheron pathwise sampling (:300-317), constrained
+estimators (:338-410 — cvxpy there, on-device solvers here), ucb_optimize /
+sample_and_optimize (:462-535). Also subsumes GaussianProcessFF
+(fourier_fea.py:7) via AdditiveEmbeddings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stpy_tpu.config import as_array, default_dtype
+from stpy_tpu.linalg import (
+    safe_cholesky,
+    cho_solve,
+    logdet_from_chol,
+    woodbury_inv_update,
+)
+from stpy_tpu.models.estimator import Estimator
+from stpy_tpu.opt.lbfgs import minimize_lbfgs
+from stpy_tpu.opt.prox import fista_backtracking, project_l2_ball
+
+
+class KernelizedFeatures(Estimator):
+    def __init__(
+        self, embedding, m, s=0.001, lam=1.0, d=1, diameter=1.0,
+        theta_norm=1.0, verbose=True, groups=None, bounds=None, scale=1.0,
+        kappa=1.0, poly=2, primal=True, beta_fun=None, bound=1,
+    ):
+        self.s = s
+        self.lam = lam
+        self.primal = primal
+        self.x = None
+        self.y = None
+        self.mu = 0.0
+        self.m = int(np.sum(m))
+        self.fitted = False
+        self.data = False
+        self.d = d
+        self.n = 0
+        self.bounds = bounds
+        self.groups = groups
+        self.diameter = diameter
+        self.theta_norm = theta_norm
+        self.verbose = verbose
+        self.admits_first_order = True
+        self.embedding = embedding
+        self.kappa = kappa
+        self.scale = scale
+        self.poly = poly
+        self.to_add = []
+        self.prior_mean = 0.0
+        self.dual = False
+        self.beta_fun = beta_fun
+        self.bound = bound
+
+    # -- embedding plumbing ----------------------------------------------------
+    def description(self):
+        return "Custom Features object"
+
+    def embed(self, x):
+        return self.embedding.embed(as_array(x))
+
+    def get_basis_size(self) -> int:
+        return self.m
+
+    def set_basis_size(self, m):
+        self.m = int(m)
+
+    def kernel(self, x, y):
+        """Approximated kernel Φ(x)Φ(y)ᵀ — REFERENCE convention (n_y, n_x)
+        like KernelFunction.kernel."""
+        return self.embed(y) @ self.embed(x).T
+
+    # -- fitting ---------------------------------------------------------------
+    def fit_gp(self, x, y):
+        self.x = as_array(x)
+        self.y = as_array(y).reshape(-1, 1)
+        self.n, self.d = self.x.shape
+        self.dual = (self.n < self.m) and not self.primal
+        self.data = True
+        self.fitted = False
+        self.precompute()
+        return None
+
+    def fit(self, x=None, y=None):
+        if x is not None:
+            self.fit_gp(x, y)
+        else:
+            self.fit_gp(self.x, self.y)
+
+    def load_data(self, d):
+        super().load_data(d)
+        self.n = self.x.shape[0]
+
+    def add_data_point(self, x, y):
+        if self.n == 0:
+            self.fit_gp(x, y)
+        else:
+            self.to_add.append([as_array(x), as_array(y).reshape(-1, 1)])
+            self.fitted = False
+
+    def _add_points(self, x, y):
+        self.x = jnp.concatenate([self.x, x], axis=0) if self.x is not None else x
+        self.y = jnp.concatenate([self.y, y], axis=0) if self.y is not None else y
+
+    def check_conversion(self):
+        if not self.primal and self.dual and self.n >= self.m:
+            if self.verbose:
+                print("Switching mode to primal.")
+            self.dual = False
+            Z = self.Q.T @ self.Q
+            V = Z + self.s**2 * self.lam * jnp.eye(self.m, dtype=Z.dtype)
+            self.invV = cho_solve(
+                safe_cholesky(V).L, jnp.eye(self.m, dtype=Z.dtype)
+            )
+
+    def precompute(self):
+        if self.fitted:
+            return
+        if len(self.to_add) > 0:
+            for newx, newy in self.to_add:
+                emb = self.embed(newx)  # (1, m)
+                if self.dual:
+                    # Schur-complement growth of invK (dual rank-1,
+                    # kernelized_features.py:186-198)
+                    v = self.Q @ emb.T  # (n, 1)
+                    c = 1.0 / (
+                        (self.s**2 * self.lam + emb @ emb.T) - v.T @ self.invK @ v
+                    )[0, 0]
+                    Mv = self.invK @ v
+                    n = self.n
+                    newKinv = jnp.zeros((n + 1, n + 1), v.dtype)
+                    newKinv = newKinv.at[:n, :n].set(
+                        self.invK + c * (Mv @ Mv.T)
+                    )
+                    newKinv = newKinv.at[:n, n].set((-c * Mv).ravel())
+                    newKinv = newKinv.at[n, :n].set((-c * Mv).ravel())
+                    newKinv = newKinv.at[n, n].set(c)
+                    self.invK = newKinv
+                    self._add_points(newx, newy)
+                    self.n += 1
+                    self.Q = self.embed(self.x)
+                    self.invK_V = (1.0 / self.lam) * (
+                        -self.Q.T @ self.invK @ self.Q
+                        + jnp.eye(self.m, dtype=v.dtype)
+                    )
+                else:
+                    # Sherman–Morrison on invV (primal rank-1, :199-206)
+                    self.invV = woodbury_inv_update(self.invV, emb.ravel())
+                    self._add_points(newx, newy)
+                    self.n += 1
+                    self.Q = (
+                        jnp.concatenate([self.Q, emb], axis=0)
+                        if hasattr(self, "Q")
+                        else self.embed(self.x)
+                    )
+                self.check_conversion()
+            self.to_add = []
+            self.fitted = True
+        elif self.data:
+            self.Q = self.embed(self.x)
+            if self.dual:
+                Z = self.Q @ self.Q.T
+                self.K = Z + self.s**2 * self.lam * jnp.eye(
+                    self.n, dtype=Z.dtype
+                )
+                self.invK = cho_solve(
+                    safe_cholesky(self.K).L, jnp.eye(self.n, dtype=Z.dtype)
+                )
+                self.invK_V = (1.0 / self.lam) * (
+                    -self.Q.T @ self.invK @ self.Q
+                    + jnp.eye(self.m, dtype=Z.dtype)
+                )
+            else:
+                Z = self.Q.T @ self.Q
+                self.V = Z + self.s**2 * self.lam * jnp.eye(
+                    self.m, dtype=Z.dtype
+                )
+                self.invV = cho_solve(
+                    safe_cholesky(self.V).L, jnp.eye(self.m, dtype=Z.dtype)
+                )
+            self.fitted = True
+
+    def get_invV(self):
+        self.precompute()
+        if self.dual:
+            Z = self.Q.T @ self.Q
+            V = Z + self.s**2 * self.lam * jnp.eye(self.m, dtype=Z.dtype)
+            return cho_solve(
+                safe_cholesky(V).L, jnp.eye(self.m, dtype=Z.dtype)
+            )
+        return self.invV
+
+    # -- posterior -------------------------------------------------------------
+    def theta_mean(self, var=False, prior=False):
+        self.precompute()
+        if self.fitted and not prior:
+            if self.dual:
+                tm = self.Q.T @ (self.invK @ self.y)
+                Z = self.invK_V
+            else:
+                tm = self.invV @ (self.Q.T @ self.y)
+                Z = self.s**2 * self.invV
+        else:
+            tm = jnp.zeros((self.m, 1), default_dtype())
+            Z = self.lam * jnp.eye(self.m, dtype=default_dtype())
+        return (tm, Z) if var else tm
+
+    def mean(self, xtest):
+        return self.mean_std(xtest)[0]
+
+    def mean_std(self, xtest):
+        self.precompute()
+        emb = self.embed(xtest)
+        tm = self.theta_mean()
+        ymean = emb @ tm
+        if not self.dual or self.primal:
+            diag = self.s**2 * jnp.einsum(
+                "ij,jk,ik->i", emb, self.invV, emb
+            )
+        else:
+            diag = jnp.einsum("ij,jk,ik->i", emb, self.invK_V, emb)
+        return ymean, jnp.sqrt(jnp.clip(diag, 1e-30))[:, None]
+
+    def beta(self, delta=0.1, norm=None):
+        """Confidence multiplier; 'theory' = logdet-ratio bound
+        (kernelized_features.py:56-76)."""
+        if norm is None:
+            norm = self.theta_norm
+        if self.beta_fun is None:
+            return 2.0
+        if self.beta_fun == "theory":
+            Q = self.embed(self.x)
+            Lam = self.lam * jnp.eye(self.m, dtype=Q.dtype)
+            V = Q.T @ Q / self.s**2 + Lam
+            ld = logdet_from_chol(safe_cholesky(V).L) - self.m * jnp.log(
+                self.lam
+            )
+            return self.bound * self.lam + ld + 2 * np.log(1.0 / delta)
+        return self.beta_fun(delta=delta, norm=norm)
+
+    def ucb(self, xtest, delta=0.1):
+        mu, std = self.mean_std(xtest)
+        return mu + jnp.sqrt(self.beta(delta=delta)) * std
+
+    def lcb(self, xtest, delta=0.1):
+        mu, std = self.mean_std(xtest)
+        return mu - jnp.sqrt(self.beta(delta=delta)) * std
+
+    def logdet_ratio(self):
+        self.precompute()
+        V = self.V if not self.dual else (
+            self.Q.T @ self.Q
+            + self.s**2 * self.lam * jnp.eye(self.m, dtype=self.Q.dtype)
+        )
+        return logdet_from_chol(safe_cholesky(V).L) - self.m * jnp.log(
+            self.s**2 * self.lam
+        )
+
+    def effective_dim(self, xtest):
+        Phi = self.embed(xtest)
+        A = Phi.T @ Phi
+        B = A + self.lam * jnp.eye(self.m, dtype=A.dtype)
+        return jnp.trace(cho_solve(safe_cholesky(B).L, A))
+
+    def get_kernel(self):
+        emb = self.embed(self.x)
+        return emb @ emb.T + self.s**2 * self.lam * jnp.eye(
+            self.n, dtype=emb.dtype
+        )
+
+    def residuals(self):
+        mu, _ = self.mean_std(self.x)
+        return jnp.linalg.norm(mu - self.y) ** 2
+
+    # -- sampling --------------------------------------------------------------
+    def sample_theta(self, size=1, prior=False, key=None):
+        key = key if key is not None else jax.random.PRNGKey(
+            np.random.randint(2**31)
+        )
+        z = jax.random.normal(key, (self.m, size), default_dtype())
+        self.precompute()
+        if self.fitted and not prior:
+            L = safe_cholesky(self.get_invV()).L * self.s
+            return self.theta_mean() + L @ z
+        return np.sqrt(self.lam) * z + self.prior_mean
+
+    def sample(self, xtest, size=1, prior=False, key=None):
+        theta = self.sample_theta(size=size, prior=prior, key=key)
+        return self.embed(xtest) @ theta
+
+    def sample_and_max(self, xtest, size=1, key=None):
+        f = self.sample(xtest, size=size, key=key)
+        idx = jnp.argmax(f, axis=0)
+        return (as_array(xtest)[idx, :], jnp.max(f, axis=0))
+
+    def sample_matheron(self, xtest, kernel_object, size=1, key=None):
+        """Pathwise posterior sampling: prior in feature space + exact-kernel
+        data correction (kernelized_features.py:300-317)."""
+        key = key if key is not None else jax.random.PRNGKey(
+            np.random.randint(2**31)
+        )
+        z = jax.random.normal(key, (self.m, size), default_dtype())
+        theta = np.sqrt(self.lam) * z + self.prior_mean
+        xtest = as_array(xtest)
+        f_prior_xtest = self.embed(xtest) @ theta
+        f_prior_x = self.embed(self.x) @ theta
+        K_star = kernel_object.cross(xtest, self.x)
+        K = kernel_object.gram(self.x) + self.s**2 * self.lam * jnp.eye(
+            self.n, dtype=K_star.dtype
+        )
+        corr = cho_solve(safe_cholesky(K).L, self.y - f_prior_x)
+        return f_prior_xtest + K_star @ corr
+
+    # -- constrained / robust theta estimators (cvxpy -> on-device) ------------
+    def theta_mean_constrained(self, weights=None, B=1):
+        """Weighted LS with ||θ||₂ ≤ B (SOC in the reference, :338):
+        FISTA + exact ball projection."""
+        Q = self.embed(self.x)
+        w = (
+            jnp.ones(self.n, Q.dtype) / self.n
+            if weights is None else as_array(weights)
+        )
+        yv = self.y.ravel()
+
+        def obj(t):
+            r = Q @ t - yv
+            return jnp.sum(w * r * r)
+
+        res = fista_backtracking(
+            obj, jnp.zeros(self.m, Q.dtype),
+            lambda t: project_l2_ball(t, B), max_iter=1000,
+        )
+        return res.x[:, None]
+
+    def theta_absolute_deviation(self, weights=None, reg=None):
+        """Weighted L1 regression + L2 reg (:352) — smoothed |r| via
+        sqrt(r²+μ), L-BFGS."""
+        Q = self.embed(self.x)
+        w = jnp.ones(self.n, Q.dtype) if weights is None else as_array(weights)
+        lam_r = self.s * self.lam if reg is None else reg
+        yv = self.y.ravel()
+        mu_s = 1e-8
+
+        def obj(t):
+            r = Q @ t - yv
+            return jnp.sum(w * jnp.sqrt(r * r + mu_s)) + lam_r * jnp.sqrt(
+                jnp.sum(t * t) + mu_s
+            )
+
+        res = minimize_lbfgs(obj, jnp.zeros(self.m, Q.dtype), max_iter=500)
+        return res.x[:, None]
+
+    def theta_absolute_deviation_constrained(self, weights=None, B=1):
+        Q = self.embed(self.x)
+        w = jnp.ones(self.n, Q.dtype) if weights is None else as_array(weights)
+        yv = self.y.ravel()
+        mu_s = 1e-8
+
+        def obj(t):
+            r = Q @ t - yv
+            return jnp.sum(w * jnp.sqrt(r * r + mu_s))
+
+        res = fista_backtracking(
+            obj, jnp.zeros(self.m, Q.dtype),
+            lambda t: project_l2_ball(t, B), max_iter=1000,
+        )
+        return res.x[:, None]
+
+    def theta_chebyschev_approximation(self, eps=1.0):
+        """min ||θ||² s.t. |Qθ - y| ≤ ε (:386) — penalty FISTA (quadratic
+        hinge with escalating penalty)."""
+        Q = self.embed(self.x)
+        yv = self.y.ravel()
+        theta = jnp.zeros(self.m, Q.dtype)
+        for rho in [1e2, 1e4, 1e6]:
+            def obj(t, rho=rho):
+                r = jnp.abs(Q @ t - yv) - eps
+                return jnp.sum(t * t) + rho * jnp.sum(jnp.maximum(r, 0.0) ** 2)
+
+            theta = minimize_lbfgs(obj, theta, max_iter=300).x
+        return theta[:, None]
+
+    def interpolation(self, eps=0.0):
+        """Min-norm interpolation Qθ = y (:398) — SVD pseudo-inverse
+        (exact when y ∈ range(Q); otherwise the least-squares min-norm
+        solution, which is the best any solver can do when the feature
+        spectrum decays below the noise floor)."""
+        Q = self.embed(self.x)
+        theta, *_ = jnp.linalg.lstsq(Q, self.y, rcond=None)
+        return theta.reshape(-1, 1)
+
+    # -- acquisition -----------------------------------------------------------
+    def _bounds_arr(self):
+        if self.bounds is None:
+            return jnp.asarray(
+                [[-self.diameter, self.diameter]] * self.d, default_dtype()
+            )
+        return jnp.asarray(self.bounds, default_dtype()).reshape(self.d, 2)
+
+    def ucb_optimize(self, beta, multistart=25, lcb=False, minimizer=None,
+                     key=None, steps=200, lr=0.05):
+        """First-order multistart maximization of μ ± β·σ using autodiff
+        through the embedding (vmapped; replaces scipy L-BFGS-B loop)."""
+        bounds = self._bounds_arr()
+        theta_mean, K = self.theta_mean(var=True)
+        key = key if key is not None else jax.random.PRNGKey(5)
+        sgn = -1.0 if lcb else 1.0
+        emb = self.embedding
+
+        def acq(pt):
+            e = emb.embed(pt[None, :])
+            mu = (e @ theta_mean)[0, 0]
+            var = (e @ K @ e.T)[0, 0]
+            return sgn * mu + beta * jnp.sqrt(jnp.clip(var, 1e-30))
+
+        g = jax.grad(acq)
+
+        def ascend(p0):
+            def body(p, _):
+                p = jnp.clip(p + lr * g(p), bounds[:, 0], bounds[:, 1])
+                return p, None
+
+            p, _ = jax.lax.scan(body, p0, None, length=steps)
+            return p, acq(p)
+
+        u = jax.random.uniform(key, (multistart, self.d), dtype=default_dtype())
+        starts = bounds[:, 0] + u * (bounds[:, 1] - bounds[:, 0])
+        pts, vals = jax.vmap(ascend)(starts)
+        best = jnp.argmax(vals)
+        return pts[best][None, :], sgn * vals[best]
+
+    def sample_and_optimize(self, xtest=None, multistart=25, minimizer=None,
+                            grid=100, verbose=0, key=None, steps=200, lr=0.05):
+        """Thompson step: sample θ once, maximize Φ(x)ᵀθ first-order
+        (kernelized_features.py:501)."""
+        key = key if key is not None else jax.random.PRNGKey(11)
+        k1, k2 = jax.random.split(key)
+        theta = self.sample_theta(key=k1)
+        bounds = self._bounds_arr()
+        emb = self.embedding
+
+        def fval(pt):
+            return (emb.embed(pt[None, :]) @ theta)[0, 0]
+
+        g = jax.grad(fval)
+
+        def ascend(p0):
+            def body(p, _):
+                p = jnp.clip(p + lr * g(p), bounds[:, 0], bounds[:, 1])
+                return p, None
+
+            p, _ = jax.lax.scan(body, p0, None, length=steps)
+            return p, fval(p)
+
+        u = jax.random.uniform(k2, (multistart, self.d), dtype=default_dtype())
+        starts = bounds[:, 0] + u * (bounds[:, 1] - bounds[:, 0])
+        pts, vals = jax.vmap(ascend)(starts)
+        best = jnp.argmax(vals)
+        return pts[best], vals[best]
