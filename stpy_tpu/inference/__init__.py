@@ -1,0 +1,11 @@
+from stpy_tpu.inference.langevin import (
+    LangevinSampler,
+    ula,
+    projected_langevin,
+    proximal_langevin,
+    mirror_langevin_box,
+    MirrorLangevin,
+    ProximalLangevin,
+)
+from stpy_tpu.inference.hmc import hmc_sample, HmcSampler
+from stpy_tpu.inference.tmg import tmg_sample

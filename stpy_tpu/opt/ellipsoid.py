@@ -104,6 +104,79 @@ def maximize_on_elliptical_slice(
     return x @ theta_c, theta_c
 
 
+def maximize_matrix_quadratic_on_ellipse(Z, Sigma, mu, c, iters=60):
+    """max θᵀZθ s.t. (θ-μ)ᵀΣ(θ-μ) ≤ c² — exact trust-region subproblem
+    (parity: ellipsoid_algorithms.py:218, MOSEK QCQP there).
+
+    Whitened: θ = μ + A w with A = Σ^{-1/2}, ||w|| ≤ c. Maximize
+    wᵀBw + 2bᵀw + const: the maximizer lies on the boundary (B ⪰ 0 case of
+    interest); solve the secular equation ||(λI - B)^{-1} b|| = c for
+    λ > λ_max(B) by bisection in eigenbasis. Returns (val, θ*)."""
+    eigS, VS = jnp.linalg.eigh(Sigma)
+    eigS = jnp.clip(eigS, 1e-12, None)
+    A = (VS / jnp.sqrt(eigS)[None, :]) @ VS.T  # Σ^{-1/2}
+    B = A @ Z @ A
+    b = A @ (Z @ mu)
+    d, V = jnp.linalg.eigh(B)
+    bt = V.T @ b
+    lam_max = d[-1]
+
+    def norm_w(lam):
+        w = bt / (lam - d)
+        return jnp.sqrt(jnp.sum(w * w))
+
+    # bisection on (lam_max + eps, lam_hi)
+    eps = 1e-10 + 1e-8 * jnp.abs(lam_max)
+    lo = lam_max + eps
+    hi = lam_max + jnp.linalg.norm(b) / jnp.maximum(c, 1e-12) + 1.0
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        too_big = norm_w(mid) > c  # ||w|| decreasing in λ
+        return jnp.where(too_big, mid, lo), jnp.where(too_big, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    lam = 0.5 * (lo + hi)
+    w = V @ (bt / (lam - d))
+    # degenerate b≈0: take the top eigenvector direction at radius c
+    w = jnp.where(jnp.linalg.norm(b) < 1e-14, c * V[:, -1], w)
+    theta = mu + A @ w
+    return theta @ (Z @ theta), theta
+
+
+def minimize_matrix_quadratic_on_ellipse(Z, Sigma, mu, c, max_iter=200):
+    """min θᵀZθ over the ellipsoid (Z ⪰ 0, convex): 0 if 0 is feasible,
+    else projected FISTA with the exact ellipsoid projection
+    (parity: ellipsoid_algorithms.py:230)."""
+    r0 = (0.0 - mu) @ (Sigma @ (0.0 - mu))
+    eigvals, V = jnp.linalg.eigh(Sigma)
+    eigvals = jnp.clip(eigvals, 1e-12, None)
+
+    def solve():
+        def obj(t):
+            return t @ (Z @ t)
+
+        g = jax.grad(obj)
+        L = jnp.linalg.norm(Z, ord="fro") + 1e-9
+        step = 1.0 / L
+
+        def body(t, _):
+            t = t - step * g(t)
+            t = project_ellipsoid(t, eigvals, V, mu, c)
+            return t, None
+
+        t, _ = jax.lax.scan(body, mu, None, length=max_iter)
+        return obj(t), t
+
+    val0 = jnp.zeros(())
+    inside = r0 <= c * c
+    valc, thetac = solve()
+    val = jnp.where(inside, 0.0, valc)
+    theta = jnp.where(inside, jnp.zeros_like(mu), thetac)
+    return val, theta
+
+
 def maximize_quadratic_on_ellipse(x, Sigma, mu, c):
     """max (x^T θ)² over the ellipsoid — the two-sided linear bound
     (parity: ellipsoid_algorithms.py:252). max of |x^Tθ| is attained at one

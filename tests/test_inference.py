@@ -1,0 +1,182 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stpy_tpu.inference import (
+    hmc_sample,
+    mirror_langevin_box,
+    projected_langevin,
+    proximal_langevin,
+    tmg_sample,
+    ula,
+)
+from stpy_tpu.probability import (
+    GaussianLikelihood,
+    GaussianNoise,
+    LaplaceNoise,
+    PoissonLikelihoodCanonical,
+    BernoulliLikelihoodCanonical,
+    PoissonNoise,
+)
+
+
+def test_ula_gaussian_stationary():
+    """ULA on N(mu, sigma²) must reproduce mean/var."""
+    mu = jnp.array([1.0, -2.0])
+    sigma2 = 0.5
+
+    def grad_f(x):
+        return (x - mu) / sigma2
+
+    xs = ula(
+        jax.random.PRNGKey(0), grad_f, jnp.zeros(2), steps=20000,
+        step_size=0.005, burn_in=2000,
+    )
+    assert np.allclose(jnp.mean(xs, axis=0), mu, atol=0.1)
+    # ULA has O(eta) bias; generous tolerance
+    assert np.allclose(jnp.var(xs, axis=0), sigma2, atol=0.12)
+
+
+def test_projected_langevin_stays_in_box():
+    grad_f = lambda x: x  # N(0,1) target
+    l, u = -0.5, 0.5
+    xs = projected_langevin(
+        jax.random.PRNGKey(1), grad_f, lambda t: jnp.clip(t, l, u),
+        jnp.zeros(3), steps=2000, step_size=0.01,
+    )
+    assert float(jnp.min(xs)) >= l - 1e-9
+    assert float(jnp.max(xs)) <= u + 1e-9
+
+
+def test_mirror_langevin_box_support_and_moments():
+    # target: uniform-ish on box via zero potential
+    grad_f = lambda x: jnp.zeros_like(x)
+    xs = mirror_langevin_box(
+        jax.random.PRNGKey(2), grad_f, jnp.array([0.0]), jnp.array([1.0]),
+        jnp.array([0.5]), steps=20000, step_size=0.05, burn_in=2000,
+    )
+    assert float(jnp.min(xs)) >= 0.0
+    assert float(jnp.max(xs)) <= 1.0
+
+
+def test_hmc_gaussian_moments():
+    mu = jnp.array([0.5, -1.0, 2.0])
+
+    def log_prob(x):
+        return -0.5 * jnp.sum((x - mu) ** 2)
+
+    xs, acc = hmc_sample(
+        jax.random.PRNGKey(3), log_prob, jnp.zeros(3), steps=3000,
+        leapfrog_steps=10, step_size=0.2, burn_in=500,
+    )
+    assert float(acc) > 0.6
+    assert np.allclose(jnp.mean(xs, axis=0), mu, atol=0.15)
+    assert np.allclose(jnp.var(xs, axis=0), 1.0, atol=0.25)
+
+
+def test_tmg_positive_orthant():
+    """Truncated standard normal to x >= 0 (2d): known moments
+    E[x_i] = sqrt(2/pi) ≈ 0.7979."""
+    d = 2
+    F = jnp.eye(d)
+    g = jnp.zeros(d)
+    xs = tmg_sample(
+        jax.random.PRNGKey(4), 4000, jnp.zeros(d), jnp.eye(d), F, g,
+        x0=jnp.ones(d) * 0.5,
+    )
+    assert float(jnp.min(xs)) >= -1e-6
+    assert np.allclose(
+        jnp.mean(xs, axis=0), np.sqrt(2 / np.pi), atol=0.06
+    )
+
+
+def test_tmg_interval_constraint():
+    """1-d standard normal truncated to [0.5, 1.5]."""
+    F = jnp.array([[1.0], [-1.0]])
+    g = jnp.array([-0.5, 1.5])  # x - 0.5 >= 0, -x + 1.5 >= 0
+    xs = tmg_sample(
+        jax.random.PRNGKey(5), 4000, jnp.zeros(1), jnp.eye(1), F, g,
+        x0=jnp.array([1.0]),
+    )
+    assert float(jnp.min(xs)) >= 0.5 - 1e-6
+    assert float(jnp.max(xs)) <= 1.5 + 1e-6
+    # analytic mean of N(0,1) on [0.5, 1.5]
+    from math import erf, exp, pi, sqrt
+
+    phi = lambda z: exp(-z * z / 2) / sqrt(2 * pi)
+    Phi = lambda z: 0.5 * (1 + erf(z / sqrt(2)))
+    mean = (phi(0.5) - phi(1.5)) / (Phi(1.5) - Phi(0.5))
+    assert abs(float(jnp.mean(xs)) - mean) < 0.05
+
+
+# ---------- likelihoods ------------------------------------------------------
+
+def test_gaussian_likelihood_objective_and_confidence():
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((50, 3))
+    theta_true = np.array([1.0, -0.5, 0.2])
+    y = X @ theta_true + 0.1 * rng.standard_normal(50)
+    lik = GaussianLikelihood(sigma=0.1)
+    lik.load_data((jnp.asarray(X), jnp.asarray(y)))
+    obj = lik.get_objective()
+    # MAP via normal equations should minimize the objective
+    theta_hat = np.linalg.solve(X.T @ X, X.T @ y)
+    assert float(obj(jnp.asarray(theta_hat))) <= float(
+        obj(jnp.asarray(theta_true))
+    ) + 1e-6
+    cs = lik.get_confidence_set(jnp.asarray(theta_hat), params={})
+    assert bool(cs.contains(jnp.asarray(theta_hat)))
+    V = lik.information_matrix()
+    assert V.shape == (3, 3)
+
+
+def test_poisson_likelihood_glm_recovery():
+    rng = np.random.default_rng(1)
+    X = rng.uniform(-1, 1, (300, 2))
+    theta_true = np.array([0.8, -0.4])
+    lam = np.exp(X @ theta_true)
+    y = rng.poisson(lam)
+    lik = PoissonLikelihoodCanonical()
+    lik.load_data((jnp.asarray(X), jnp.asarray(y, dtype=float)))
+    from stpy_tpu.opt.lbfgs import minimize_lbfgs
+
+    res = minimize_lbfgs(lik.get_objective(), jnp.zeros(2), max_iter=200)
+    assert np.allclose(res.x, theta_true, atol=0.2)
+    cs = lik.get_confidence_set(res.x, type="laplace", params={})
+    assert bool(cs.contains(res.x))
+    assert bool(cs.contains(jnp.asarray(theta_true)))
+
+
+def test_bernoulli_likelihood_glm():
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((400, 2))
+    theta_true = np.array([1.5, -1.0])
+    p = 1 / (1 + np.exp(-X @ theta_true))
+    y = rng.binomial(1, p)
+    lik = BernoulliLikelihoodCanonical()
+    lik.load_data((jnp.asarray(X), jnp.asarray(y, dtype=float)))
+    from stpy_tpu.opt.lbfgs import minimize_lbfgs
+
+    res = minimize_lbfgs(lik.get_objective(), jnp.zeros(2), max_iter=200)
+    assert np.allclose(res.x, theta_true, atol=0.4)
+
+
+def test_noise_models_sampling_and_loglik():
+    key = jax.random.PRNGKey(0)
+    xs = jnp.ones((2000, 1))
+    theta = jnp.array([0.0])
+    for nm, var in [
+        (GaussianNoise(sigma=0.5), 0.25),
+        (LaplaceNoise(b=0.3), 2 * 0.3**2),
+    ]:
+        key, sub = jax.random.split(key)
+        ys = nm.sample(sub, xs, theta)
+        assert abs(float(jnp.var(ys)) - var) < 0.1, str(nm)
+        ll = nm.joint_log_likelihood(ys, xs, theta)
+        assert np.isfinite(float(ll))
+
+    pn = PoissonNoise(lam=lambda x: 2.0 * jnp.ones(x.shape[0]))
+    key, sub = jax.random.split(key)
+    ys = pn.sample(sub, xs)
+    assert abs(float(jnp.mean(ys)) - 2.0) < 0.2
