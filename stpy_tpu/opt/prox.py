@@ -122,6 +122,53 @@ def projected_fista(
     return SolveResult(x, fun(x), it, jnp.linalg.norm(x - xp) <= tol)
 
 
+def fista_prox_backtracking(
+    fun: Callable, x0: jnp.ndarray, prox: Callable,
+    l0: float = 1.0, eta: float = 2.0, max_iter: int = 500, tol: float = 1e-9,
+) -> SolveResult:
+    """FISTA for composite objectives fun + g with prox_g: `prox(x, step)`
+    receives the current step size 1/L (needed by shrinkage proxes like the
+    group soft-threshold; plain projections can ignore it)."""
+    vg = jax.value_and_grad(fun)
+
+    def bt(y, fy, gy, L):
+        def cond(c):
+            L, done = c[0], c[1]
+            return jnp.logical_and(~done, L < 1e18)
+
+        def body(c):
+            L, _, _ = c
+            xn = prox(y - gy / L, 1.0 / L)
+            diff = xn - y
+            q = fy + jnp.vdot(gy, diff) + 0.5 * L * jnp.vdot(diff, diff)
+            ok = fun(xn) <= q + 1e-12
+            return jax.lax.cond(
+                ok, lambda: (L, True, xn), lambda: (L * eta, False, xn)
+            )
+
+        xn0 = prox(y - gy / L, 1.0 / L)
+        L, _, xn = jax.lax.while_loop(cond, body, (L, False, xn0))
+        return L, xn
+
+    def cond(c):
+        x, y, t, L, xp, it = c
+        return jnp.logical_and(it < max_iter, jnp.linalg.norm(x - xp) > tol)
+
+    def body(c):
+        x, y, t, L, _, it = c
+        fy, gy = vg(y)
+        L, xn = bt(y, fy, gy, L)
+        tn = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        yn = xn + ((t - 1.0) / tn) * (xn - x)
+        return xn, yn, tn, L, x, it + 1
+
+    x0 = jnp.asarray(x0)
+    st = (x0, x0, jnp.asarray(1.0, x0.dtype), jnp.asarray(l0, x0.dtype),
+          x0 + 1.0, jnp.asarray(0))
+    x, y, t, L, xp, it = jax.lax.while_loop(cond, body, st)
+    return SolveResult(x, fun(x), it, jnp.linalg.norm(x - xp) <= tol)
+
+
 def fista_backtracking(
     fun: Callable, x0: jnp.ndarray, project: Callable,
     l0: float = 1.0, eta: float = 2.0, max_iter: int = 500, tol: float = 1e-9,
