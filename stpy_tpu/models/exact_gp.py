@@ -33,9 +33,10 @@ from stpy_tpu.linalg import (
 )
 from stpy_tpu.models.estimator import Estimator
 from stpy_tpu.opt.lbfgs import minimize_lbfgs
+from stpy_tpu.viz import RandomProcess
 
 
-class GaussianProcess(Estimator):
+class GaussianProcess(Estimator, RandomProcess):
     def __init__(
         self, gamma=1.0, s=0.001, kappa=1.0,
         kernel_name="squared_exponential", diameter=1.0, groups=None,

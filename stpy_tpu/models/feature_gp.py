@@ -26,9 +26,10 @@ from stpy_tpu.linalg import (
 from stpy_tpu.models.estimator import Estimator
 from stpy_tpu.opt.lbfgs import minimize_lbfgs
 from stpy_tpu.opt.prox import fista_backtracking, project_l2_ball
+from stpy_tpu.viz import RandomProcess
 
 
-class KernelizedFeatures(Estimator):
+class KernelizedFeatures(Estimator, RandomProcess):
     def __init__(
         self, embedding, m, s=0.001, lam=1.0, d=1, diameter=1.0,
         theta_norm=1.0, verbose=True, groups=None, bounds=None, scale=1.0,
