@@ -265,3 +265,22 @@ class CandidateSet:
 
     def size(self) -> int:
         return self.n
+
+
+class CandidateDiscreteSet(CandidateSet):
+    """Discrete candidate set with removal/selection bookkeeping (parity:
+    stpy/candidate_set.py)."""
+
+    def __init__(self, points):
+        super().__init__(points)
+        self._active = np.ones(self.n, dtype=bool)
+
+    def get_options_per_dim(self):
+        return [np.unique(np.asarray(self.points)[:, j])
+                for j in range(self.d)]
+
+    def remove(self, idx):
+        self._active[np.asarray(idx)] = False
+
+    def get_active_points(self):
+        return self.points[jnp.asarray(np.where(self._active)[0])]

@@ -36,4 +36,10 @@ from stpy_tpu.embeddings.polynomial import (
     CustomEmbedding,
     OnehotEmbedding,
 )
-from stpy_tpu.embeddings.nystrom import NystromFeatures, PositiveNystromEmbeddingBump
+from stpy_tpu.embeddings.nystrom import (
+    NystromFeatures,
+    OptimalPositiveBasis,
+    PositiveNystromEmbeddingBump,
+)
+from stpy_tpu.embeddings.polynomial import PackingEmbedding
+from stpy_tpu.embeddings.random_nn import RandomMap, RandomNestedMap, RandomOrthogonalMap

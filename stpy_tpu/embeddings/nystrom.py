@@ -255,3 +255,36 @@ class PositiveNystromEmbeddingBump(PositiveEmbedding):
         u = jnp.full((s,), 1e10, default_dtype())
         Lambda = jnp.eye(s, dtype=default_dtype())
         return (l, Lambda, u)
+
+
+class OptimalPositiveBasis(PositiveNystromEmbeddingBump):
+    """Data-optimal positive basis with disk save/load of the learned basis
+    (parity: stpy/embeddings/optimal_positive_basis.py:13, :53-60)."""
+
+    def save_embedding(self, path):
+        from stpy_tpu.utils.checkpoint import save_pytree
+        import numpy as _np
+
+        xg = self.GP.x
+        save_pytree(path, {"grid": xg, "basis": self.GP.embed(xg)})
+
+    def load_embedding(self, path):
+        from stpy_tpu.utils.checkpoint import load_pytree
+
+        dat = load_pytree(path)
+        xg, basis = dat["grid"], dat["basis"]
+        order = jnp.argsort(xg[:, 0])
+        xg_s, basis_s = xg[order, 0], basis[order]
+
+        def _embed(q):
+            from stpy_tpu.config import as_array as _as
+
+            q = _as(q).reshape(-1, self.d)
+            return jax.vmap(
+                lambda col: jnp.interp(q[:, 0], xg_s, col), in_axes=1,
+                out_axes=1,
+            )(basis_s)
+
+        self.GP._embed = _embed
+        self.precomp = False
+        return self

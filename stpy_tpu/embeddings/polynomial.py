@@ -130,3 +130,43 @@ class OnehotEmbedding(Embedding):
 
     def get_m(self):
         return self.m
+
+
+class PackingEmbedding(Embedding):
+    """SVD-packing basis: orthonormal basis of the span of kernel columns on
+    a packing grid, with autodiff derivatives (parity:
+    stpy/embeddings/packing_embedding.py:11)."""
+
+    def __init__(self, d, m, kernel_object, interval=(-1, 1), grid=64):
+        self.d = int(d)
+        self.m = int(m)
+        self.kernel_object = kernel_object
+        from stpy_tpu.utils.helper import cartesian as _cart
+        import numpy as _np
+
+        per = max(int(round(grid ** (1.0 / d))), 2)
+        xs = [_np.linspace(interval[0], interval[1], per) for _ in range(d)]
+        self.grid = jnp.asarray(_cart(xs), default_dtype())
+        K = kernel_object.gram(self.grid)
+        w, V = jnp.linalg.eigh(K)
+        w = jnp.clip(w[::-1][: self.m], 1e-12, None)
+        V = V[:, ::-1][:, : self.m]
+        self._M = V / jnp.sqrt(w)[None, :]
+
+    def embed(self, x):
+        from stpy_tpu.config import as_array as _as
+
+        return self.kernel_object.cross(
+            _as(x).reshape(-1, self.d), self.grid
+        ) @ self._M
+
+    def derivative_1(self, x):
+        import jax as _jax
+
+        f = lambda p: self.embed(p[None, :])[0]
+        from stpy_tpu.config import as_array as _as
+
+        return _jax.vmap(_jax.jacobian(f))(_as(x).reshape(-1, self.d))
+
+    def get_m(self):
+        return self.m

@@ -352,10 +352,14 @@ class GaussianProcess(Estimator, RandomProcess):
             for pkey, d2 in self.kernel_object.params_dict.items():
                 if "kappa" in d2:
                     params[pkey] = {"kappa": (init_func, None, bounds)}
-        elif type == "covariance":
-            for pkey, d2 in self.kernel_object.params_dict.items():
-                if "cov" in d2:
-                    params[pkey] = {"cov": (init_func, None, None)}
+        elif type in ("covariance", "rots"):
+            # manifold-constrained: PSD factor (covariance) or Stiefel
+            # rotation (rots) of the full-covariance kernel's `cov` param
+            # (parity: gauss_procc.py:669-689, pymanopt there)
+            return self._optimize_cov_manifold(
+                type, restarts=restarts, maxiter=maxiter, weight=weight,
+                key=key,
+            )
         elif type == "groups":
             from stpy_tpu.utils.groups import generate_groups
 
@@ -412,6 +416,43 @@ class GaussianProcess(Estimator, RandomProcess):
         pts, vals = jax.jit(jax.vmap(ascend))(starts)
         best = jnp.argmax(vals)
         return pts[best], sign * vals[best]
+
+    def _optimize_cov_manifold(self, type, restarts=4, maxiter=200,
+                               weight=1.0, key=None):
+        """Optimize the full-covariance kernel's `cov` over the PSD manifold
+        (type='covariance', A = Y Yᵀ factor L-BFGS) or the Stiefel manifold
+        (type='rots', projected GD with QR retraction)."""
+        from stpy_tpu.opt.manifold import optimize_psd, optimize_stiefel
+
+        kernel = self.kernel_object
+        target_key = None
+        for pkey, d2 in kernel.params_dict.items():
+            if "cov" in d2:
+                target_key = pkey
+        if target_key is None:
+            raise AttributeError(
+                "No `cov` kernel parameter to optimize (use a "
+                "full_covariance_* kernel)."
+            )
+        d = kernel.params_dict[target_key]["cov"].shape[0]
+
+        def objective(C):
+            return self.log_marginal_params(
+                kernel, {target_key: {"cov": C}}, self.s, weight
+            )
+
+        if type == "covariance":
+            C_opt, _ = optimize_psd(
+                objective, d, restarts=restarts, key=key, max_iter=maxiter
+            )
+        else:
+            C_opt, _ = optimize_stiefel(
+                objective, d, d, restarts=restarts, key=key, steps=maxiter
+            )
+        kernel.params_dict[target_key]["cov"] = C_opt
+        self.fitted = False
+        self.fit_gp(self.x, self.y)
+        return True
 
     def isin(self, ucb_of_point):  # pragma: no cover - parity stub
         return True

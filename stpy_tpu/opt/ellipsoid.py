@@ -61,47 +61,186 @@ def project_ellipsoid(p, eigvals, V, mu, c, iters: int = 40):
 
 def maximize_on_elliptical_slice(
     x, Sigma, mu, c, l=None, Lambda=None, u=None,
-    penalty: float = 1e4, max_iter: int = 300,
+    max_iter: int = 150, dykstra_iters: int = 25,
 ):
     """max x^T θ s.t. (θ-μ)^T Σ (θ-μ) ≤ c², l ≤ Λθ ≤ u.
 
     Parity: stpy/helpers/ellipsoid_algorithms.py:194 (MOSEK SOC program).
-    Strategy: closed form if the box is slack at the ellipsoid maximizer;
-    otherwise penalized projected ascent with the exact ellipsoid projection.
-    Returns (value, θ)."""
+    Strategy: closed form when the box is slack at the ellipsoid maximizer.
+    Otherwise change variables z = Λθ (Λ invertible in all call sites: the
+    positive-basis Γ^{1/2}) so the box is an exact clip, then projected
+    subgradient ascent where the projection onto (ellipsoid ∩ box) is
+    computed by Dykstra's alternating projections (exact ellipsoid
+    projection via the secular equation). Returns (value, θ)."""
     val, theta = maximize_on_ellipsoid(x, Sigma, mu, c)
     if Lambda is None:
         return val, theta
 
-    l = -jnp.inf if l is None else l
-    u = jnp.inf if u is None else u
-    z = Lambda @ theta
-    feasible = jnp.all((z >= l - 1e-9) & (z <= u + 1e-9))
+    l = -jnp.inf if l is None else jnp.asarray(l)
+    u = jnp.inf if u is None else jnp.asarray(u)
+    z0 = Lambda @ theta
+    feasible = jnp.all((z0 >= l - 1e-9) & (z0 <= u + 1e-9))
 
-    eigvals, V = jnp.linalg.eigh(Sigma)
-    eigvals = jnp.clip(eigvals, 1e-12, None)
+    if Lambda.shape[0] != Lambda.shape[1]:
+        # non-square Λ (e.g. per-set integral constraints): projected
+        # subgradient ascent on θ with an escalating box penalty
+        eigvals, V = jnp.linalg.eigh(0.5 * (Sigma + Sigma.T))
+        eigvals = jnp.clip(eigvals, 1e-14, None)
+        r0 = c / jnp.sqrt(jnp.maximum(jnp.min(eigvals), 1e-14))
+
+        def constrained_rect():
+            def obj_grad(t, rho):
+                zt = Lambda @ t
+                over = jnp.maximum(zt - u, 0.0)
+                under = jnp.maximum(l - zt, 0.0)
+                return x - rho * (Lambda.T @ (over - under))
+
+            def body(carry, k):
+                t, best_t, best_val = carry
+                rho = 10.0 + k
+                eta = r0 / jnp.sqrt(k + 1.0)
+                g = obj_grad(t, rho)
+                t = project_ellipsoid(
+                    t + eta * g / (jnp.linalg.norm(g) + 1e-30),
+                    eigvals, V, mu, c,
+                )
+                zt = Lambda @ t
+                feas = jnp.all((zt >= l - 1e-6) & (zt <= u + 1e-6))
+                v = jnp.where(feas, x @ t, -jnp.inf)
+                better = v > best_val
+                return (
+                    t,
+                    jnp.where(better, t, best_t),
+                    jnp.where(better, v, best_val),
+                ), None
+
+            t0 = project_ellipsoid(mu, eigvals, V, mu, c)
+            (_, best_t, best_val), _ = jax.lax.scan(
+                body, (t0, t0, -jnp.inf),
+                jnp.arange(max_iter, dtype=t0.dtype),
+            )
+            # fall back to the center if nothing feasible was found
+            return jnp.where(jnp.isfinite(best_val), best_t, mu)
+
+        theta_c = jax.lax.cond(feasible, lambda: theta, constrained_rect)
+        return x @ theta_c, theta_c
+
+    # z-space problem data
+    Lam_inv = jnp.linalg.inv(Lambda)
+    xz = Lam_inv.T @ x
+    Sz = Lam_inv.T @ Sigma @ Lam_inv
+    Sz = 0.5 * (Sz + Sz.T)
+    zmu = Lambda @ mu
+    eigvals, V = jnp.linalg.eigh(Sz)
+    eigvals = jnp.clip(eigvals, 1e-14, None)
+
+    def proj_C(z):
+        """Dykstra projection onto {ellipsoid} ∩ {box} in z-space."""
+        def body(state, _):
+            z, p, q = state
+            a = project_ellipsoid(z + p, eigvals, V, zmu, c)
+            p = z + p - a
+            b = jnp.clip(a + q, l, u)
+            q = a + q - b
+            return (b, p, q), None
+
+        (z, _, _), _ = jax.lax.scan(
+            body, (z, jnp.zeros_like(z), jnp.zeros_like(z)), None,
+            length=dykstra_iters,
+        )
+        return z
 
     def constrained():
-        def obj(t):
-            zt = Lambda @ t
-            viol = jnp.maximum(zt - u, 0.0) ** 2 + jnp.maximum(l - zt, 0.0) ** 2
-            return -(x @ t) + 0.5 * penalty * jnp.sum(viol)
+        # step scale: ellipsoid extent along xz
+        r0 = c / jnp.sqrt(jnp.maximum(jnp.min(eigvals), 1e-14))
+        gnorm = jnp.linalg.norm(xz) + 1e-30
+        z_init = proj_C(jnp.clip(zmu, l, u))
 
-        g = jax.grad(obj)
-        # Lipschitz of penalty part ~ penalty * ||Λ||²; step accordingly
-        lam_max = jnp.linalg.norm(Lambda, ord="fro") ** 2
-        step = 1.0 / (penalty * lam_max + 1e-9)
+        def body(carry, k):
+            z, best_z, best_val = carry
+            eta = r0 / jnp.sqrt(k + 1.0)
+            z = proj_C(z + eta * xz / gnorm)
+            v = xz @ z
+            better = v > best_val
+            best_z = jnp.where(better, z, best_z)
+            best_val = jnp.where(better, v, best_val)
+            return (z, best_z, best_val), None
 
-        def body(t, _):
-            t = t - step * g(t)
-            t = project_ellipsoid(t, eigvals, V, mu, c)
-            return t, None
-
-        t, _ = jax.lax.scan(body, mu, None, length=max_iter)
-        return t
+        (_, best_z, _), _ = jax.lax.scan(
+            body, (z_init, z_init, xz @ z_init),
+            jnp.arange(max_iter, dtype=z_init.dtype),
+        )
+        return Lam_inv @ best_z
 
     theta_c = jax.lax.cond(feasible, lambda: theta, constrained)
     return x @ theta_c, theta_c
+
+
+def KY_initialization(X):
+    """Kumar-Yildirim initial core set for MVE: pick extreme points along
+    successively deflated directions (parity: ellipsoid_algorithms.py:287)."""
+    import numpy as np
+
+    X = np.asarray(X)
+    n, d = X.shape
+    dirs = np.eye(d)
+    picked = []
+    basis = []
+    for i in range(d):
+        u = dirs[i]
+        for b in basis:
+            u = u - (u @ b) * b
+        if np.linalg.norm(u) < 1e-12:
+            continue
+        u = u / np.linalg.norm(u)
+        proj = X @ u
+        picked.extend([int(np.argmin(proj)), int(np.argmax(proj))])
+        v = X[picked[-1]] - X[picked[-2]]
+        if np.linalg.norm(v) > 1e-12:
+            basis.append(v / np.linalg.norm(v))
+    return sorted(set(picked))
+
+
+def maximum_volume_ellipsoid(X, tol=1e-6, max_iter=2000):
+    """Khachiyan's algorithm for the minimum-volume enclosing ellipsoid of
+    points X (n, d): returns (center c, shape A) with
+    (x-c)ᵀ A (x-c) ≤ 1 for all points (parity: ellipsoid_algorithms.py:
+    9-193 — host-side numpy; a design-time computation)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=float)
+    n, d = X.shape
+    Q = np.vstack([X.T, np.ones(n)])  # (d+1, n)
+    u = np.ones(n) / n
+    for _ in range(max_iter):
+        V = Q @ np.diag(u) @ Q.T
+        M = np.einsum("in,ij,jn->n", Q, np.linalg.inv(V), Q)
+        j = int(np.argmax(M))
+        step = (M[j] - d - 1.0) / ((d + 1) * (M[j] - 1.0))
+        new_u = (1 - step) * u
+        new_u[j] += step
+        if np.linalg.norm(new_u - u) < tol:
+            u = new_u
+            break
+        u = new_u
+    c = X.T @ u
+    cov = X.T @ np.diag(u) @ X - np.outer(c, c)
+    A = np.linalg.inv(cov) / d
+    return c, A
+
+
+def ellipsoid_cut(c, B, g):
+    """Central ellipsoid cut: smallest ellipsoid containing the half
+    {x: gᵀ(x-c) ≤ 0} ∩ E(c, B) (parity: ellipsoid_algorithms.py:167)."""
+    d = c.shape[0]
+    Bg = B @ g
+    denom = jnp.sqrt(jnp.maximum(g @ Bg, 1e-30))
+    b = Bg / denom
+    c_new = c - b / (d + 1.0)
+    B_new = (d * d / (d * d - 1.0)) * (
+        B - (2.0 / (d + 1.0)) * jnp.outer(b, b)
+    )
+    return c_new, B_new
 
 
 def maximize_matrix_quadratic_on_ellipse(Z, Sigma, mu, c, iters=60):

@@ -11,6 +11,7 @@ from stpy_tpu.point_processes.link_estimators import (
     LogGaussProcessRateEstimator,
 )
 from stpy_tpu.point_processes.loglinear import LogLinearRateEstimator
+from stpy_tpu.point_processes.mbr_estimator import MBRPositiveEstimator
 from stpy_tpu.point_processes.binomial import (
     BernoulliPointProcess,
     BernoulliRateEstimator,
