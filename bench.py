@@ -44,7 +44,8 @@ def main():
     @jax.jit
     def fit_predict(x, y, xt):
         K = kernel.eval_params(pd, x, x)
-        K = 0.5 * (K + K.T) + (s * s) * jnp.eye(N, dtype=K.dtype)
+        # Cholesky reads only the lower triangle; fused Gram is symmetric
+        K = K + (s * s) * jnp.eye(N, dtype=K.dtype)
         L = safe_cholesky(K).L
         alpha = cho_solve(L, y)
         K_star = kernel.eval_params(pd, xt, x)

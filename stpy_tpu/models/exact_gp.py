@@ -91,7 +91,10 @@ class GaussianProcess(Estimator, RandomProcess):
         def fit(x, y, params_dict, s):
             n = x.shape[0]
             K = kernel.eval_params(params_dict, x, x)
-            K = 0.5 * (K + K.T) + (s * s) * jnp.eye(n, dtype=K.dtype)
+            # no (K+K.T)/2 symmetrization: Cholesky reads only the lower
+            # triangle and the fused Gram is symmetric by construction —
+            # skipping it saves two full HBM passes over the n x n matrix
+            K = K + (s * s) * jnp.eye(n, dtype=K.dtype)
             res = safe_cholesky(K)
             alpha = cho_solve(res.L, y)
             return res.L, alpha

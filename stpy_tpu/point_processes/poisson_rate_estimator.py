@@ -701,6 +701,8 @@ class PoissonRateEstimator(RateEstimator):
                 return self.mean_var_bins_set(S, dt=dt, beta=self.beta(0))[1]
             if self.uncertainty == "likelihood-ratio":
                 return self.mean_var_ratio_set(S, dt=dt, beta=self.beta(0))[1]
+            if self.uncertainty == "conformal":
+                return self.mean_var_conformal_set(S, dt=dt, delta=delta)[2]
             raise AssertionError("Not Implemented.")
         elif self.approx == "ellipsoid":
             if not self.approx_fit:
@@ -919,6 +921,182 @@ class PoissonRateEstimator(RateEstimator):
             val = val - jnp.sum(self.obs_multiplicities * jnp.log(lam))
         reg = invG_half @ w
         return val + 0.5 * self.s * jnp.sum(reg * reg)
+
+    # -- conformal predictive sets (parity :1808-1962) -------------------------
+    def add_data_point_and_remove(self, new):
+        """Temporarily append a synthetic sensing round; returns the saved
+        state to restore afterwards (parity: add_data_point_and_remove)."""
+        saved = (
+            self.phis, self.observations, self.obs_multiplicities,
+            self.counts,
+        )
+        S, obs, dt = new
+        phi = self.packing.integral(S).reshape(1, -1) * dt
+        self.phis = jnp.concatenate([self.phis, phi], axis=0)
+        if obs is not None:
+            emb = self.packing.embed(obs) * dt
+            mult = jnp.ones(emb.shape[0], default_dtype())
+            self.observations = (
+                jnp.concatenate([self.observations, emb], axis=0)
+                if self.observations is not None else emb
+            )
+            self.obs_multiplicities = (
+                jnp.concatenate([self.obs_multiplicities, mult])
+                if self.obs_multiplicities is not None else mult
+            )
+            cnt = float(emb.shape[0])
+        else:
+            cnt = 0.0
+        self.counts = jnp.concatenate(
+            [self.counts, jnp.asarray([cnt], default_dtype())]
+        )
+        return saved
+
+    def _restore_data(self, saved):
+        (self.phis, self.observations, self.obs_multiplicities,
+         self.counts) = saved
+
+    def conformal_score_func(self, theta, new, index):
+        """Rank of the synthetic round's residual among the basic set's
+        historical residuals (parity :1820-1840)."""
+        S, obs, dt = new
+        n_new = 0 if obs is None else obs.shape[0]
+        varphi = self.packing.integral(S) * dt
+        err_new = abs(float(n_new) - float(varphi @ theta))
+        hist = np.asarray(self.bucketized_obs[index], dtype=float)
+        n = len(hist)
+        if n == 0:
+            return 0.0
+        pred = float(self.varphis[index] @ theta)
+        errs = np.abs(hist - pred)
+        return float(np.sum(errs < err_new)) / (n + 1.0) + 1.0 / (n + 1.0)
+
+    def conformal_confidence_set(self, S, delta=0.05, max_val=20, dt=1.0,
+                                 step=1):
+        """Full-conformal count interval for the set S: sweep hypothesized
+        counts j, refit with the synthetic round, accept j while the
+        conformity score stays under the (1-δ) quantile. Returns
+        (map, ucb, lcb) as rates (counts / dt / vol)."""
+        if self.data is None:
+            return self.b, self.B, self.b
+        self.fit_gp()
+        index = 0
+        for st in self.basic_sets:
+            if st.inside(S):
+                break
+            index += 1
+        map_ = float(self.rate @ self.packing.integral(S))
+
+        def score_for(j):
+            if j > 0:
+                self.key, sub = jax.random.split(self.key)
+                obs = S.uniform_sample(sub, j)
+            else:
+                obs = None
+            new = (S, obs, dt)
+            saved = self.add_data_point_and_remove(new)
+            theta_new = self.penalized_likelihood_fast()
+            self._restore_data(saved)
+            return self.conformal_score_func(theta_new, new, index)
+
+        n = float(len(self.bucketized_obs[index]))
+        thresh = np.ceil((1 - delta) * (n + 1)) / (n + 1)
+        lowest, j = 0, 0
+        score = 1.0
+        while score > thresh and j <= max_val:
+            lowest = j
+            score = score_for(j)
+            j += step
+        largest, j = max_val, max_val
+        score = 1.0
+        while score > thresh and j > lowest:
+            largest = j
+            score = score_for(j)
+            j -= step
+        # refit on the clean data
+        self.fit_gp()
+        vol = S.volume()
+        return map_, largest / dt / vol, lowest / dt / vol
+
+    def conformal_confidence(self, delta=0.05, max_val=20, dt=1, step=1):
+        maps, ucbs, lcbs = [], [], []
+        for S in self.basic_sets:
+            m, u, l = self.conformal_confidence_set(
+                S, delta=delta, max_val=max_val, dt=dt, step=step
+            )
+            maps.append(m)
+            ucbs.append(u)
+            lcbs.append(l)
+        return (
+            jnp.asarray(maps), jnp.asarray(ucbs), jnp.asarray(lcbs),
+        )
+
+    def mean_var_conformal_set(self, S, dt, beta=2.0, max_val=None,
+                               delta=0.05):
+        if max_val is None:
+            max_val = int(self.B * self.basic_sets[0].volume() * dt) + 1
+        map_, ucb, lcb = self.conformal_confidence_set(
+            S, delta=delta, max_val=max_val, dt=dt
+        )
+        return map_, lcb, ucb
+
+    def map_lcb_ucb_likelihood_ratio(self, S, n, delta=0.1, current=False):
+        """Pointwise LR confidence band on a grid (parity :1729-1806)."""
+        xtest = S.return_discretization(n)
+        if self.data is None:
+            zeros = 0 * xtest[:, :1]
+            return self.b + zeros, self.b + zeros, self.B + zeros
+        Phi = self.packing.embed(xtest)
+        map_ = Phi @ self.rate.reshape(-1, 1)
+        lcbs, ucbs = [], []
+        for i in range(Phi.shape[0]):
+            _, u_i, l_i = self._lr_bound_direction(Phi[i], delta)
+            ucbs.append(u_i)
+            lcbs.append(l_i)
+        return (
+            map_,
+            jnp.asarray(lcbs).reshape(-1, 1),
+            jnp.asarray(ucbs).reshape(-1, 1),
+        )
+
+    def _lr_bound_direction(self, x, delta):
+        """Optimize xᵀθ over the likelihood-ratio sublevel set."""
+        v = (
+            np.log(1.0 / delta)
+            + self.loglikelihood
+            + 0.5 * self.s * float(jnp.linalg.norm(self.rate)) ** 2
+        )
+        l, Lambda, u = self.get_constraints()
+        G_half, invG_half = self.cov(inverse=True)
+        phis_raw = self.phis @ invG_half
+        counts = self.counts
+
+        def nll(w):
+            lam = jnp.clip(phis_raw @ w, 1e-12)
+            reg = invG_half @ w
+            return (
+                -jnp.sum(counts * jnp.log(lam))
+                + jnp.sum(phis_raw @ w)
+                + 0.5 * self.s * jnp.sum(reg * reg)
+            )
+
+        x_raw = x @ invG_half
+
+        def bound(sign, rho=1e3):
+            def obj(w):
+                return sign * (x_raw @ w) + rho * jnp.maximum(
+                    nll(w) - v, 0.0
+                ) ** 2
+
+            w0 = jnp.clip(
+                G_half @ self.rate.reshape(-1), l + 1e-4, u
+            )
+            res = fista_backtracking(
+                obj, w0, lambda t: jnp.clip(t, l + 1e-4, u), max_iter=300
+            )
+            return float(x_raw @ res.x)
+
+        return None, bound(-1.0), bound(+1.0)
 
     def sampled_lcb_ucb(self, xtest, samples=100, delta=0.1):
         """Quantile bands from repeated posterior samples (parity :916-926)."""

@@ -257,3 +257,67 @@ def test_bernoulli_estimator():
         p_hat = est.mean_set(S)
         assert abs(p_hat - true_p(S)) < 0.25
         assert est.lcb(S) - 0.3 <= p_hat <= est.ucb(S) + 0.3
+
+
+def test_conformal_confidence_set(setup_1d):
+    process, hierarchy, k = setup_1d
+    est = PoissonRateEstimator(
+        process, hierarchy, d=1, m=16, kernel_object=k, B=5.0, s=1e-3,
+    )
+    data, _ = _sense_all(process, hierarchy, jax.random.PRNGKey(11), dt=5.0)
+    # sense each leaf several times so conformal has history
+    for rep in range(12, 16):
+        more, _ = _sense_all(
+            process, hierarchy, jax.random.PRNGKey(rep), dt=5.0
+        )
+        data.extend(more)
+    est.load_data(data)
+    est.fit_gp()
+    S = hierarchy.get_sets_level(3)[1]
+    map_, ucb, lcb = est.conformal_confidence_set(
+        S, delta=0.2, max_val=30, dt=5.0, step=2
+    )
+    true_rate_set = process.rate_volume(S, dt=1.0) / S.volume()
+    assert lcb <= ucb
+    # the conformal interval (rates) should bracket the truth loosely
+    assert lcb <= true_rate_set * 1.5
+    assert ucb >= true_rate_set * 0.5
+
+
+def test_mbr_estimator(setup_1d):
+    from stpy_tpu.point_processes import MBRPositiveEstimator
+
+    process, hierarchy, k = setup_1d
+    est = MBRPositiveEstimator(
+        process, hierarchy, d=1, m=8, kernel_object=k, B=5.0, s=0.1,
+        psd=True,  # PSD parameterization guarantees a nonnegative rate
+    )
+    data, _ = _sense_all(process, hierarchy, jax.random.PRNGKey(20), dt=30.0)
+    est.load_data(data)
+    est.fit_gp()
+    xtest = hierarchy.top_node.return_discretization(32)
+    r = np.asarray(est.mean_rate_points(xtest)).ravel()
+    assert np.all(np.isfinite(r))
+    # set-level intensities close to empirical
+    for i, S in enumerate(hierarchy.get_sets_level(3)):
+        pred = float(est.mean_set(S))
+        emp = float(
+            est.total_bucketized_obs[i] / est.total_bucketized_time[i]
+        )
+        assert pred == pytest.approx(emp, abs=0.6)
+    ucb = est.ucb(hierarchy.get_sets_level(2)[0])
+    assert np.isfinite(ucb)
+
+
+def test_lr_pointwise_band(setup_1d):
+    process, hierarchy, k = setup_1d
+    est = PoissonRateEstimator(
+        process, hierarchy, d=1, m=12, kernel_object=k, B=5.0, s=1e-2,
+        feedback="histogram",
+    )
+    data, _ = _sense_all(process, hierarchy, jax.random.PRNGKey(21), dt=20.0)
+    est.load_data(data)
+    est.fit_gp()
+    D = hierarchy.top_node
+    map_, lcb, ucb = est.map_lcb_ucb_likelihood_ratio(D, 8, delta=0.1)
+    assert bool(jnp.all(ucb >= lcb - 1e-6))
