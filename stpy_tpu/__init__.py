@@ -9,3 +9,22 @@ scale-out.
 """
 
 __version__ = "0.1.0"
+
+from stpy_tpu.config import default_dtype, default_jitter
+from stpy_tpu.domains import (
+    BallSet,
+    BorelSet,
+    CandidateSet,
+    HierarchicalBorelSets,
+)
+from stpy_tpu.kernels import KernelFunction
+
+__all__ = [
+    "BallSet",
+    "BorelSet",
+    "CandidateSet",
+    "HierarchicalBorelSets",
+    "KernelFunction",
+    "default_dtype",
+    "default_jitter",
+]

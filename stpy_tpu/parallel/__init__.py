@@ -6,3 +6,4 @@ from stpy_tpu.parallel.mesh import (
     distributed_evidence,
     restart_farm,
 )
+from stpy_tpu.parallel.iterative import IterativeGP, cg_solve

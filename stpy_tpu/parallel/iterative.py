@@ -1,0 +1,244 @@
+"""Iterative large-n GP inference over a device mesh: conjugate gradients
+with row-sharded Gram matvecs and block-Jacobi preconditioning.
+
+This is the n >> 16k path (SURVEY.md §7 stage 10): instead of a distributed
+Cholesky, solves (K + σ²I) x = b with
+  * the Gram matrix K row-sharded over the 'tp' mesh axis (each device owns
+    an (n/p, n) tile built by the fused local Gram kernel after an ICI
+    all-gather of X — X is (n, d) with small d, so the collective is cheap),
+  * CG matvecs as shard_map GEMVs (row-local GEMV + no cross-device
+    reduction needed: rows are partitioned),
+  * a block-Jacobi preconditioner from each device's diagonal block
+    Cholesky.
+Memory per device is O(n²/p) so n scales with the mesh. The same machinery
+powers posterior-mean prediction and pathwise sampling; variance/logdet via
+stochastic Lanczos are planned follow-ups.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stpy_tpu.config import as_array
+from stpy_tpu.linalg import chol_jittered, cho_solve
+
+
+def cg_solve(matvec, b, M_inv=None, tol=1e-8, maxiter=1000):
+    """Preconditioned conjugate gradients; jit-safe while_loop. Returns
+    (x, iterations, residual_norm)."""
+    if M_inv is None:
+        M_inv = lambda r: r
+    b = jnp.asarray(b)
+    bnorm = jnp.linalg.norm(b)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M_inv(r0)
+    p0 = z0
+
+    def cond(state):
+        x, r, z, p, rz, it = state
+        return jnp.logical_and(
+            jnp.sqrt(jnp.vdot(r, r).real) > tol * bnorm, it < maxiter
+        )
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M_inv(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return x, r, z, p, rz_new, it + 1
+
+    state = (x0, r0, z0, p0, jnp.vdot(r0, z0), jnp.asarray(0))
+    x, r, _, _, _, it = jax.lax.while_loop(cond, body, state)
+    return x, it, jnp.linalg.norm(r) / bnorm
+
+
+class IterativeGP:
+    """Large-n exact-GP inference by preconditioned CG over a mesh.
+
+    API mirrors GaussianProcess.fit_gp/mean (variance via CG probes is a
+    follow-up); designed for n where a dense Cholesky no longer fits one
+    chip."""
+
+    def __init__(self, kernel_object, s=0.1, mesh=None, axis="tp",
+                 precond_block=2048, tol=1e-6, maxiter=500):
+        self.kernel_object = kernel_object
+        self.s = s
+        self.mesh = mesh
+        self.axis = axis
+        self.precond_block = precond_block
+        self.tol = tol
+        self.maxiter = maxiter
+        self.fitted = False
+
+    def _matvec_factory(self, x):
+        """Row-sharded (K + σ²I) v matvec. With a mesh: shard_map over row
+        blocks; without: plain dense matvec."""
+        ko = self.kernel_object
+        n = x.shape[0]
+        s2 = self.s**2
+
+        if self.mesh is None:
+            K = ko.gram(x) + s2 * jnp.eye(n, dtype=x.dtype)
+            return lambda v: K @ v, None
+
+        mesh, axis = self.mesh, self.axis
+        p = mesh.shape[axis]
+        assert n % p == 0, "n must divide the mesh axis for row sharding"
+        xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+
+        # per-device row tile of the Gram, built once (O(n²/p) memory/device)
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(axis, None),), out_specs=P(axis, None),
+            check_vma=False,
+        )
+        def build_rows(x_local):
+            x_all = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+            K_rows = ko.eval_params(ko.params_dict, x_local, x_all)
+            # add σ² on this tile's diagonal offsets
+            i = jax.lax.axis_index(axis)
+            nb = x_local.shape[0]
+            rows = jnp.arange(nb)
+            cols = i * nb + rows
+            return K_rows.at[rows, cols].add(s2)
+
+        K_rows = build_rows(xs)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(axis, None), P()), out_specs=P(axis),
+            check_vma=False,
+        )
+        def matvec_sharded(K_local, v):
+            return (K_local @ v).ravel()
+
+        def matvec(v):
+            return matvec_sharded(K_rows, v.reshape(-1, 1))
+
+        # block-Jacobi preconditioner: per-device diagonal block factor
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(axis, None),), out_specs=P(axis, None),
+            check_vma=False,
+        )
+        def build_precond(K_local):
+            i = jax.lax.axis_index(axis)
+            nb = K_local.shape[0]
+            block = jax.lax.dynamic_slice(
+                K_local, (jnp.int32(0), i.astype(jnp.int32) * nb), (nb, nb)
+            )
+            return chol_jittered(block)
+
+        L_blocks = build_precond(K_rows)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(axis, None), P()), out_specs=P(axis),
+            check_vma=False,
+        )
+        def precond_sharded(L_local, r):
+            i = jax.lax.axis_index(axis)
+            nb = L_local.shape[0]
+            r_local = jax.lax.dynamic_slice(
+                r.reshape(-1), (i.astype(jnp.int32) * nb,), (nb,)
+            )
+            return cho_solve(L_local, r_local.reshape(-1, 1)).ravel()
+
+        def M_inv(r):
+            return precond_sharded(L_blocks, r)
+
+        return matvec, M_inv
+
+    def fit_gp(self, x, y):
+        x = as_array(x)
+        y = as_array(y).reshape(-1, 1)
+        self.x, self.y = x, y
+        self.n = x.shape[0]
+        matvec, M_inv = self._matvec_factory(x)
+        self._matvec = matvec
+
+        alpha, it, res = cg_solve(
+            matvec, y.ravel(), M_inv=M_inv, tol=self.tol,
+            maxiter=self.maxiter,
+        )
+        self.A = alpha.reshape(-1, 1)
+        self.cg_iterations = int(it)
+        self.cg_residual = float(res)
+        self.fitted = True
+        return None
+
+    def mean(self, xtest):
+        xtest = as_array(xtest)
+        K_star = self.kernel_object.cross(xtest, self.x)
+        return K_star @ self.A
+
+    def mean_std(self, xtest, probes=16, key=None, method=None,
+                 exact_threshold=1024):
+        """Mean exactly; variance either exactly (one CG solve per test
+        point, vmapped — default up to `exact_threshold` points) or by
+        Hutchinson probes (unbiased but noisy; for very large test sets)."""
+        xtest = as_array(xtest)
+        mu = self.mean(xtest)
+        K_star = self.kernel_object.cross(xtest, self.x)
+        kss = self.kernel_object.diag(xtest)
+        t = xtest.shape[0]
+        method = method or ("exact" if t <= exact_threshold else "hutchinson")
+
+        if method == "exact":
+            def col_solve(k_col):
+                sol, _, _ = cg_solve(
+                    self._matvec, k_col, tol=self.tol, maxiter=self.maxiter
+                )
+                return k_col @ sol
+
+            quad = jax.vmap(col_solve)(K_star)  # rows of K_star
+            var = jnp.clip(kss - quad, 1e-12)
+            return mu, jnp.sqrt(var)[:, None]
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        def probe(k):
+            z = jax.random.rademacher(k, (t,)).astype(xtest.dtype)
+            v = K_star.T @ z
+            sol, _, _ = cg_solve(
+                self._matvec, v, tol=self.tol, maxiter=self.maxiter
+            )
+            return z * (K_star @ sol)
+
+        keys = jax.random.split(key, probes)
+        est = jnp.mean(jax.vmap(probe)(keys), axis=0)
+        var = jnp.clip(kss - est, 1e-12)
+        return mu, jnp.sqrt(var)[:, None]
+
+    def sample_pathwise(self, xtest, embedding, size=1, key=None):
+        """Matheron pathwise sampling with CG data correction — prior from
+        a feature embedding, correction solve by CG (no Cholesky)."""
+        key = key if key is not None else jax.random.PRNGKey(1)
+        xtest = as_array(xtest)
+        m = embedding.get_m()
+        theta = jax.random.normal(key, (m, size), xtest.dtype)
+        f_prior_t = embedding.embed(xtest) @ theta
+        f_prior_x = embedding.embed(self.x) @ theta
+        K_star = self.kernel_object.cross(xtest, self.x)
+        resid = self.y - f_prior_x
+
+        def solve_col(b):
+            sol, _, _ = cg_solve(
+                self._matvec, b, tol=self.tol, maxiter=self.maxiter
+            )
+            return sol
+
+        corr = jax.vmap(solve_col, in_axes=1, out_axes=1)(resid)
+        return f_prior_t + K_star @ corr

@@ -99,3 +99,65 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out[0].shape[0] == args[2].shape[0]
     g.dryrun_multichip(8)
+
+
+def test_cg_solve_matches_direct():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((40, 40))
+    A = A @ A.T + 40 * np.eye(40)
+    b = rng.standard_normal(40)
+    from stpy_tpu.parallel import cg_solve
+
+    x, it, res = cg_solve(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                          tol=1e-10)
+    assert np.allclose(x, np.linalg.solve(A, b), atol=1e-6)
+    assert float(res) < 1e-8
+
+
+def test_iterative_gp_matches_cholesky_gp(mesh8):
+    from stpy_tpu.models import GaussianProcess
+    from stpy_tpu.parallel import IterativeGP
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (64, 1))
+    y = np.sin(3 * x) + 0.05 * rng.standard_normal((64, 1))
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.4, d=1)
+    xt = np.linspace(-1, 1, 32)[:, None]
+
+    gp = GaussianProcess(kernel=k, s=0.1)
+    gp.fit_gp(x, y)
+    mu_ref, std_ref = gp.mean_std(xt)
+
+    with mesh8:
+        igp = IterativeGP(k, s=0.1, mesh=mesh8, axis="tp", tol=1e-10)
+        igp.fit_gp(x, y)
+        mu = igp.mean(xt)
+    assert igp.cg_residual < 1e-8
+    assert np.allclose(mu, mu_ref, atol=1e-6)
+
+    # single-device fallback with probe variance
+    igp2 = IterativeGP(k, s=0.1, mesh=None, tol=1e-10)
+    igp2.fit_gp(x, y)
+    mu2, std2 = igp2.mean_std(xt)  # exact per-column CG variance
+    assert np.allclose(mu2, mu_ref, atol=1e-6)
+    assert np.abs(np.asarray(std2) - np.asarray(std_ref)).max() < 1e-4
+
+
+def test_iterative_gp_pathwise_sampling():
+    from stpy_tpu.embeddings import HermiteEmbedding
+    from stpy_tpu.parallel import IterativeGP
+    from stpy_tpu.models import GaussianProcess
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, (48, 1))
+    y = np.sin(3 * x)
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.4, d=1)
+    igp = IterativeGP(k, s=0.1, tol=1e-10)
+    igp.fit_gp(x, y)
+    emb = HermiteEmbedding(gamma=0.4, m=64, d=1)
+    xt = np.linspace(-1, 1, 24)[:, None]
+    paths = igp.sample_pathwise(xt, emb, size=500, key=jax.random.PRNGKey(1))
+    gp = GaussianProcess(kernel=k, s=0.1)
+    gp.fit_gp(x, y)
+    mu_ref, _ = gp.mean_std(xt)
+    assert np.abs(jnp.mean(paths, axis=1) - mu_ref[:, 0]).max() < 0.15
