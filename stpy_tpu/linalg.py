@@ -79,6 +79,49 @@ def tri_solve(L: jnp.ndarray, b: jnp.ndarray, lower: bool = True) -> jnp.ndarray
     return jax.scipy.linalg.solve_triangular(L, b, lower=lower)
 
 
+def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 2048
+                      ) -> jnp.ndarray:
+    """Lower-triangular solve L X = B with a WIDE RHS, reformulated as block
+    forward substitution whose work is almost entirely dense GEMMs.
+
+    XLA's native TPU triangular solve runs far below the matmul roofline for
+    large RHS. Here: invert the k = n/nb diagonal blocks once (vmapped small
+    trisolves), then per block-row i do
+        X_i = Linv_ii (B_i - L[i·nb:(i+1)·nb, :] X)
+    where the row-strip GEMM uses the full X buffer (unsolved rows are still
+    zero, and L's strict upper part is zero, so the partial sums are exact).
+    Total work 2·n²·t GEMM FLOPs on the MXU — ~2x the nominal trisolve FLOPs
+    but at full matmul throughput, several times faster in wall time.
+    """
+    n, t = B.shape
+    pad = (-n) % nb
+    if pad:
+        Lp = jnp.zeros((n + pad, n + pad), L.dtype)
+        Lp = Lp.at[:n, :n].set(L)
+        Lp = Lp.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
+        Bp = jnp.pad(B, ((0, pad), (0, 0)))
+        return tri_solve_blocked(Lp, Bp, nb)[:n]
+    k = n // nb
+    # (k, nb, nb) diagonal blocks
+    diag = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(L, (i * nb, i * nb), (nb, nb))
+    )(jnp.arange(k))
+    eye = jnp.eye(nb, dtype=L.dtype)
+    Linv = jax.vmap(
+        lambda Lb: jax.scipy.linalg.solve_triangular(Lb, eye, lower=True)
+    )(diag)
+
+    def body(i, X):
+        strip = jax.lax.dynamic_slice(L, (i * nb, 0), (nb, n))
+        S = strip @ X                                     # GEMM on the MXU
+        Bi = jax.lax.dynamic_slice(B, (i * nb, 0), (nb, t))
+        Xi = Linv[i] @ (Bi - S)
+        return jax.lax.dynamic_update_slice(X, Xi, (i * nb, 0))
+
+    X = jax.lax.fori_loop(0, k, body, jnp.zeros_like(B))
+    return X
+
+
 def tri_solve_chunked(L: jnp.ndarray, B: jnp.ndarray, chunk: int = 1024,
                       lower: bool = True) -> jnp.ndarray:
     """Triangular solve with a wide RHS, chunked over columns via lax.map.

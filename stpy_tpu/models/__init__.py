@@ -7,3 +7,4 @@ from stpy_tpu.models.mixtures import CategoricalMixture, DirichletMixture
 from stpy_tpu.models.trace_features import TraceFeatures
 from stpy_tpu.models.truncated_features import TruncatedKernelizedFeatures
 from stpy_tpu.models.convex_rkhs import ConvexRKHS
+from stpy_tpu.models.gamma_process import GammaContProcess

@@ -464,3 +464,30 @@ class WeibullLikelihoodCanonical(GaussianLikelihood):
 
     def information_matrix(self, theta_fit=None, mask=None):
         return self.x.T @ self.x * self.kk**2
+
+
+class RobustGraphicalLikelihood(LaplaceLikelihood):
+    """Contamination-robust L1-type likelihood: a Bernoulli `coin` gives the
+    contamination probability and `supp` the contamination support; the
+    clean-part objective is the σ-scaled L1 loss (parity:
+    stpy/probability/robust_likelihood.py:7)."""
+
+    def __init__(self, coin, supp, sigma=0.1):
+        super().__init__(b=sigma)
+        self.coin = coin
+        self.supp = supp
+        self.sigma = sigma
+
+    def get_objective(self, mask=None):
+        x, y = self.x, self.y
+
+        def obj(theta):
+            r = jnp.abs((x @ theta.reshape(-1, 1) - y).ravel()) / self.sigma
+            if mask is not None:
+                r = r * jnp.asarray(mask, r.dtype)
+            return jnp.sum(r)
+
+        return obj
+
+    def information_matrix(self, theta_fit=None, mask=None):
+        return self.x.T @ self.x / (2 * self.sigma**2)

@@ -21,4 +21,5 @@ from stpy_tpu.regularization.constraints import (
     AbsoluteValueConstraint,
     QuadraticInequalityConstraint,
     NonConvexNormConstraint,
+    SDPConstraint,
 )

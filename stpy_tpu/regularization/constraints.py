@@ -166,3 +166,49 @@ class NonConvexGroupNormConstraint(NonConvexNormConstraint):
             - 1.0
         )
         return rho * jnp.maximum(v, 0.0) ** 2
+
+
+class SDPConstraint(Constraints):
+    """PSD matrix constraint set: A ⪰ 0 with trace/λmax bounds
+    (parity: stpy/regularization/sdp_constraint.py:5). Penalties use eigh;
+    projection clips the spectrum."""
+
+    def __init__(self, type="trace", rank=1.0, trace_constraint=None,
+                 lambda_max_constraint=None):
+        super().__init__()
+        self.type = type
+        self.rank = rank
+        self.matrix_bound = rank if type == "stable-rank" else 1.0
+        self.trace_constraint = trace_constraint
+        self.lambda_max_constraint = lambda_max_constraint
+
+    def get_type(self):
+        return self.type
+
+    def penalty(self, A, rho=1e4, l=1.0):
+        w = jnp.linalg.eigvalsh(0.5 * (A + A.T))
+        pen = jnp.sum(jnp.maximum(-w, 0.0) ** 2)  # PSD violation
+        if self.matrix_bound is not None:
+            pen = pen + jnp.maximum(jnp.sum(w) - self.matrix_bound * l, 0.0) ** 2
+            pen = pen + jnp.maximum(jnp.max(w) - l, 0.0) ** 2
+        if self.trace_constraint is not None:
+            pen = pen + jnp.maximum(jnp.sum(w) - self.trace_constraint, 0.0) ** 2
+        if self.lambda_max_constraint is not None:
+            pen = pen + jnp.maximum(
+                jnp.max(w) - self.lambda_max_constraint, 0.0
+            ) ** 2
+        return rho * pen
+
+    def project(self, A):
+        """Nearest PSD matrix (spectral clip), then trace rescale."""
+        As = 0.5 * (A + A.T)
+        w, V = jnp.linalg.eigh(As)
+        w = jnp.clip(w, 0.0, self.lambda_max_constraint)
+        A_psd = (V * w[None, :]) @ V.T
+        if self.trace_constraint is not None:
+            tr = jnp.trace(A_psd)
+            scale = jnp.where(
+                tr > self.trace_constraint, self.trace_constraint / tr, 1.0
+            )
+            A_psd = A_psd * scale
+        return A_psd
