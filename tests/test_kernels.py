@@ -203,3 +203,83 @@ def test_se_analytic_derivatives(xy):
         )(yj)
     )(y)  # (m, n, d)
     assert np.allclose(D1, jnp.transpose(ref, (1, 0, 2)), atol=1e-8)
+
+
+def test_gibbs_and_covar_kernels(xy):
+    x, y = xy
+    # gibbs with constant lengthscale fn should reduce to SE with gamma_eff
+    gfun = lambda a: 0.5 * jnp.ones((a.shape[0], 1))
+    k = KernelFunction(kernel_name="gibbs", d=3, gamma_fun=gfun)
+    K = np.asarray(k.cross(x, y))
+    # lengthscale denominator = l(x)^2 + l(y)^2 = 0.5
+    ref = np.exp(-0.5 * ((x[:, None] - y[None]) ** 2).sum(-1) / 0.5)
+    assert np.allclose(K, ref, atol=1e-9)
+
+    # full-covariance SE with C = (1/gamma) I equals isotropic SE
+    C = np.eye(3) / 0.7
+    kc = KernelFunction(kernel_name="full_covariance_se", d=3, cov=C)
+    Kc = np.asarray(kc.cross(x, y))
+    assert np.allclose(Kc, _np_se(x, y, 0.7), atol=1e-9)
+
+    # full-covariance Matern
+    km = KernelFunction(kernel_name="full_covariance_matern", d=3, cov=C,
+                        nu=1.5)
+    r = np.sqrt(((x[:, None] - y[None]) ** 2).sum(-1)) / 0.7
+    refm = (1 + np.sqrt(3) * r) * np.exp(-np.sqrt(3) * r)
+    assert np.allclose(km.cross(x, y), refm, atol=1e-6)
+
+
+def test_modified_matern_and_tanh(xy):
+    x, y = xy
+    k = KernelFunction(kernel_name="modified_matern", gamma=0.8, nu=2, d=3)
+    d = np.abs(x[:, None] - y[None]) / 0.8
+    ref = np.prod((1 + d) * np.exp(-d), axis=-1)
+    assert np.allclose(k.cross(x, y), ref, atol=1e-9)
+
+    kt = KernelFunction(kernel_name="tanh", d=3)
+    K = np.asarray(kt.cross(x, y))
+    assert K.shape == (17, 11) and np.all(np.isfinite(K))
+
+
+def test_per_group_additive_se(xy):
+    x, y = xy
+    groups = [[0], [1, 2]]
+    k = KernelFunction(kernel_name="squared_exponential_per_group", d=3,
+                       groups=groups, gamma=0.6)
+    K = np.asarray(k.cross(x, y))
+    ref = 0.5 * (
+        _np_se(x[:, [0]], y[:, [0]], 0.6) + _np_se(x[:, 1:], y[:, 1:], 0.6)
+    )
+    assert np.allclose(K, ref, atol=1e-9)
+
+    kp = KernelFunction(kernel_name="ard_per_group", d=3, groups=groups)
+    K2 = np.asarray(kp.cross(x, y))
+    ref2 = 0.5 * (
+        _np_se(x[:, [0]], y[:, [0]], 1.0) + _np_se(x[:, 1:], y[:, 1:], 1.0)
+    )
+    assert np.allclose(K2, ref2, atol=1e-9)
+
+
+def test_kernel_params_override_and_set(xy):
+    x, y = xy
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=3,
+                       kappa=2.0)
+    # partial override keeps stored kappa
+    K = np.asarray(k.cross(x, y, params_dict={"0": {"gamma": jnp.asarray(1.0)}}))
+    assert np.allclose(K, 2.0 * _np_se(x, y, 1.0), atol=1e-9)
+    k.set_params({"0": {"gamma": jnp.asarray(0.9)}})
+    assert float(k.params_dict["0"]["gamma"]) == 0.9
+
+
+def test_blocked_trisolve_in_gp_context():
+    from stpy_tpu.linalg import tri_solve_blocked, safe_cholesky
+
+    rng = np.random.default_rng(0)
+    n, t = 520, 300
+    A = rng.standard_normal((n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    B = jnp.asarray(rng.standard_normal((n, t)))
+    L = safe_cholesky(K).L
+    X = tri_solve_blocked(L, B, nb=128)  # exercises the padding path
+    ref = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    assert np.abs(np.asarray(X - ref)).max() < 1e-8
