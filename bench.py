@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from stpy_tpu.kernels import KernelFunction
-from stpy_tpu.linalg import safe_cholesky, cho_solve, tri_solve_chunked
+from stpy_tpu.linalg import safe_cholesky, cho_solve, tri_solve_blocked
 
 N = 16384
 NTEST = 16384
@@ -50,7 +50,7 @@ def main():
         alpha = cho_solve(L, y)
         K_star = kernel.eval_params(pd, xt, x)
         mu = K_star @ alpha
-        V = tri_solve_chunked(L, K_star.T, lower=True)
+        V = tri_solve_blocked(L, K_star.T)
         var = jnp.maximum(
             kernel.diag(xt, pd) - jnp.sum(V * V, axis=0), 1e-30
         )

@@ -29,6 +29,7 @@ from stpy_tpu.linalg import (
     logdet_from_chol,
     safe_cholesky,
     tri_solve,
+    tri_solve_blocked,
     tri_solve_chunked,
 )
 from stpy_tpu.models.estimator import Estimator
@@ -102,7 +103,8 @@ class GaussianProcess(Estimator, RandomProcess):
         def predict(L, alpha, x, xtest, params_dict):
             K_star = kernel.eval_params(params_dict, xtest, x)  # (t, n)
             mu = K_star @ alpha
-            V = tri_solve_chunked(L, K_star.T, lower=True)      # (n, t)
+            # blocked GEMM trisolve: ~5x XLA's native trisolve at wide RHS
+            V = tri_solve_blocked(L, K_star.T)                  # (n, t)
             kss = kernel.diag(xtest, params_dict)
             var = jnp.maximum(kss - jnp.sum(V * V, axis=0), 1e-30)
             return mu, jnp.sqrt(var)[:, None]
@@ -110,7 +112,7 @@ class GaussianProcess(Estimator, RandomProcess):
         def predict_full(L, alpha, x, xtest, params_dict):
             K_star = kernel.eval_params(params_dict, xtest, x)
             mu = K_star @ alpha
-            V = tri_solve_chunked(L, K_star.T, lower=True)
+            V = tri_solve_blocked(L, K_star.T)
             Kss = kernel.eval_params(params_dict, xtest, xtest)
             cov = Kss - V.T @ V
             return mu, cov

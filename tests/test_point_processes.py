@@ -321,3 +321,43 @@ def test_lr_pointwise_band(setup_1d):
     D = hierarchy.top_node
     map_, lcb, ucb = est.map_lcb_ucb_likelihood_ratio(D, 8, delta=0.1)
     assert bool(jnp.all(ucb >= lcb - 1e-6))
+
+
+def test_dual_anchor_mode(setup_1d):
+    """Anchor-point compression: fit quality should be close to the primal
+    fit while compressing observations onto the anchor grid."""
+    process, hierarchy, k = setup_1d
+    data, _ = _sense_all(process, hierarchy, jax.random.PRNGKey(30), dt=50.0)
+    est_primal = PoissonRateEstimator(
+        process, hierarchy, d=1, m=24, kernel_object=k, B=5.0, s=1e-4,
+    )
+    est_primal.load_data(data)
+    est_primal.fit_gp()
+
+    est_dual = PoissonRateEstimator(
+        process, hierarchy, d=1, m=24, kernel_object=k, B=5.0, s=1e-4,
+        dual=True, no_anchor_points=64,
+    )
+    est_dual.load_data(data)
+    assert float(jnp.sum(est_dual.anchor_weights)) > 0
+    est_dual.fit_gp()
+    xt = hierarchy.top_node.return_discretization(64)
+    r_p = np.asarray(est_primal.mean_rate_points(xt)).ravel()
+    r_d = np.asarray(est_dual.mean_rate_points(xt)).ravel()
+    # anchor compression is an approximation; rates should broadly agree
+    assert np.abs(r_p - r_d).mean() / (r_p.mean() + 1e-9) < 0.5
+
+
+def test_beta_theory(setup_1d):
+    process, hierarchy, k = setup_1d
+    est = PoissonRateEstimator(
+        process, hierarchy, d=1, m=16, kernel_object=k, B=5.0, s=0.1,
+        beta=-1.0,  # theory beta
+    )
+    data, _ = _sense_all(process, hierarchy, jax.random.PRNGKey(31), dt=20.0)
+    est.load_data(data)
+    est.fit_gp()
+    est.W = est.construct_covariance_matrix_laplace()
+    est.W_inv_approx = jnp.linalg.pinv(est.W)
+    b = est.beta(0)
+    assert np.isfinite(b) and b > 0
