@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from stpy_tpu.config import as_array, default_dtype
-from stpy_tpu.linalg import chol_jittered, cho_solve, safe_cholesky, tri_solve_chunked
+from stpy_tpu.linalg import chol_jittered, cho_solve, safe_cholesky, tri_solve_blocked
 from stpy_tpu.models.estimator import Estimator
 from stpy_tpu.models.feature_gp import KernelizedFeatures
 from stpy_tpu.embeddings.combinators import ConcatEmbedding
@@ -104,7 +104,7 @@ class MultipleKernelLearner(Estimator):
         xtest = as_array(xtest)
         K_star = self._cross(xtest)
         mu = K_star @ self.A
-        V = tri_solve_chunked(self.L, K_star.T, lower=True)
+        V = tri_solve_blocked(self.L, K_star.T)
         diag = jnp.einsum(
             "k,kij->ij",
             self.alphas,
