@@ -422,6 +422,95 @@ class GaussianProcess(Estimator, RandomProcess):
         best = jnp.argmax(vals)
         return pts[best], sign * vals[best]
 
+    # -- adversarially robust "volume" mean (gauss_procc.py:710-896) -----------
+    def volume_mean(self, xtest, weights=None, eps=1e-1, tol=1e-6,
+                    max_iter=1000, verbose=False, scale=None, slope=1.0,
+                    relax="relu", B="auto", bisections=10,
+                    optimize_scale=False):
+        """Adversarially-robust mean: find the minimum-RKHS-norm function β
+        that stays within an ε-band of as much (weighted) data as possible,
+
+            min_β Σ_i w_i ρ(slope·(|β_i - y_i| - ε)) + (scale/2)·βᵀK⁻¹β,
+
+        with ρ = relu (exact elementwise prox; FISTA) or logistic (smooth;
+        L-BFGS), and `scale` set by bisection so βᵀK⁻¹β matches the budget B
+        (parity: volume_mean / volume_mean_cvxpy, cvxpy+MOSEK + torch
+        proximal loop in the reference)."""
+        xtest = as_array(xtest)
+        n = self.n
+        K = self.kernel_object.gram(self.x) + 1e-6 * jnp.eye(
+            self.n, dtype=self.x.dtype
+        )
+        L = safe_cholesky(K).L
+        yv = self.y.ravel()
+        w = (
+            jnp.ones(n, yv.dtype) / n
+            if weights is None else as_array(weights).ravel()
+        )
+
+        def quad(beta):
+            return beta @ cho_solve(L, beta.reshape(-1, 1)).ravel()
+
+        if B == "auto":
+            alpha0 = cho_solve(L, self.y)
+            beta0 = K @ alpha0
+            B = float(quad(beta0.ravel()))
+
+        def fit_beta(scale_arg):
+            if relax == "relu":
+                from stpy_tpu.opt.prox import fista_prox_backtracking
+
+                def smooth(beta):
+                    return 0.5 * scale_arg * quad(beta)
+
+                def prox(beta, step):
+                    # prox of step·w·slope·relu(|t - y| - ε): shrink toward
+                    # the ε-band, exact and elementwise
+                    r = beta - yv
+                    mag = jnp.abs(r)
+                    excess = jnp.maximum(mag - eps, 0.0)
+                    shrink = jnp.minimum(step * w * slope, excess)
+                    return beta - jnp.sign(r) * shrink
+
+                res = fista_prox_backtracking(
+                    smooth, yv, prox, max_iter=max_iter, tol=tol
+                )
+                return res.x
+            # logistic relax: smooth, L-BFGS
+            def obj(beta):
+                t = slope * (jnp.abs(beta - yv) - eps)
+                return jnp.sum(w * jax.nn.softplus(t)) + (
+                    0.5 * scale_arg * quad(beta)
+                )
+
+            return minimize_lbfgs(obj, yv, max_iter=max_iter).x
+
+        if scale is None or optimize_scale:
+            from stpy_tpu.opt.scalar import bisection as bisect_fn
+
+            def gap(s_arg):
+                return quad(fit_beta(jnp.maximum(s_arg, 1e-8))) - B
+
+            scale = float(
+                bisect_fn(gap, 1e-6, 1.0, iters=bisections)
+            )
+            if optimize_scale:
+                return scale
+
+        beta = fit_beta(scale)
+        alpha = cho_solve(L, beta.reshape(-1, 1))
+        return self.kernel_object.cross(xtest, self.x) @ alpha
+
+    volume_mean_cvxpy = volume_mean  # reference name (cvxpy path) alias
+
+    def volume_mean_norm(self, xtest, **kwargs):
+        """Normalized-weights variant (parity gauss_procc.py:847)."""
+        w = kwargs.pop("weights", None)
+        if w is not None:
+            w = as_array(w).ravel()
+            w = w / jnp.maximum(jnp.sum(w), 1e-12)
+        return self.volume_mean(xtest, weights=w, **kwargs)
+
     def _optimize_cov_manifold(self, type, restarts=4, maxiter=200,
                                weight=1.0, key=None):
         """Optimize the full-covariance kernel's `cov` over the PSD manifold

@@ -191,3 +191,25 @@ def test_mean_gradient(data1d):
         - float(gp.mean(np.array([[0.3 - eps]]))[0, 0])
     ) / (2 * eps)
     assert float(g[0]) == pytest.approx(fd, rel=1e-4)
+
+
+def test_volume_mean_robust_to_band_outliers(data1d):
+    """volume_mean should ignore points that sit outside the eps-band of the
+    bulk (adversarial corruption)."""
+    x, y, xt = data1d
+    y_corrupt = np.array(y)
+    y_corrupt[3] += 5.0
+    y_corrupt[17] -= 5.0
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp.fit_gp(x, y_corrupt)
+    vm = np.asarray(gp.volume_mean(xt, eps=0.2, scale=1e-3))
+    clean_mu, _ = _np_posterior(x, y, xt, 0.5, 0.1)
+    # the robust mean should track the clean signal better than the
+    # corrupted ridge mean
+    ridge_mu = np.asarray(gp.mean(xt))
+    err_vm = np.abs(vm[:, 0] - clean_mu[:, 0]).mean()
+    err_ridge = np.abs(ridge_mu[:, 0] - clean_mu[:, 0]).mean()
+    assert err_vm < err_ridge
+    # logistic relax also runs
+    vm2 = np.asarray(gp.volume_mean(xt, eps=0.2, scale=1e-3, relax="log"))
+    assert np.all(np.isfinite(vm2))
