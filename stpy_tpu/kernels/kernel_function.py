@@ -133,9 +133,14 @@ class KernelFunction:
             elif name == "spectral":
                 assert freq is not None, "spectral kernel needs `freq`"
                 p["freq"] = as_array(freq)
-            elif name in ("step", "wiener", "tanh", "angsim", "custom_map"):
-                if name == "custom_map":
-                    static["map_fn"] = map
+            elif name in ("step", "wiener", "tanh", "angsim", "custom_map",
+                          "random_map"):
+                if name in ("custom_map", "random_map"):
+                    # random_map = linear kernel through a (random NN)
+                    # feature map (parity: stpy/kernels.py:257)
+                    static["map_fn"] = (
+                        map.map if hasattr(map, "map") else map
+                    )
             else:
                 raise AssertionError(f"Kernel '{name}' not implemented.")
             if params:
@@ -207,6 +212,9 @@ class KernelFunction:
                 F.gibbs_custom, group=group, gamma_fun=static.get("gamma_fun")
             ),
             "custom_map": functools.partial(
+                F.custom_map, group=group, map_fn=static.get("map_fn")
+            ),
+            "random_map": functools.partial(
                 F.custom_map, group=group, map_fn=static.get("map_fn")
             ),
         }

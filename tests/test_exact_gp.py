@@ -213,3 +213,33 @@ def test_volume_mean_robust_to_band_outliers(data1d):
     # logistic relax also runs
     vm2 = np.asarray(gp.volume_mean(xt, eps=0.2, scale=1e-3, relax="log"))
     assert np.all(np.isfinite(vm2))
+
+
+def test_posterior_matches_torch_reference(data1d):
+    """North-star check against literal torch float64 reference formulas
+    (the reference's compute path: torch.linalg solves on K = k(X,X)+s²I)."""
+    import torch
+
+    x, y, xt = data1d
+    gamma, s = 0.5, 0.1
+    tx = torch.from_numpy(x).double()
+    ty = torch.from_numpy(y).double()
+    txt = torch.from_numpy(xt).double()
+
+    def tk(a, b):
+        d2 = torch.cdist(a, b, p=2) ** 2
+        return torch.exp(-0.5 * d2 / gamma**2)
+
+    K = tk(tx, tx) + s**2 * torch.eye(len(x), dtype=torch.float64)
+    Ks = tk(txt, tx)
+    alpha = torch.linalg.solve(K, ty)
+    mu_t = (Ks @ alpha).numpy()
+    V = torch.linalg.solve(K, Ks.T)
+    var_t = (1.0 - torch.einsum("ij,ji->i", Ks, V)).numpy()
+    std_t = np.sqrt(np.maximum(var_t, 0))
+
+    gp = GaussianProcess(gamma=gamma, s=s, d=1)
+    gp.fit_gp(x, y)
+    mu, std = gp.mean_std(xt)
+    assert np.allclose(np.asarray(mu)[:, 0], mu_t[:, 0], rtol=1e-6, atol=1e-9)
+    assert np.allclose(np.asarray(std)[:, 0], std_t, rtol=1e-6, atol=1e-8)

@@ -283,3 +283,17 @@ def test_blocked_trisolve_in_gp_context():
     X = tri_solve_blocked(L, B, nb=128)  # exercises the padding path
     ref = jax.scipy.linalg.solve_triangular(L, B, lower=True)
     assert np.abs(np.asarray(X - ref)).max() < 1e-8
+
+
+def test_random_map_kernel():
+    from stpy_tpu.embeddings.random_nn import RandomMap
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((6, 2))
+    y = rng.standard_normal((4, 2))
+    rm = RandomMap(d=2, m=16, output=1, seed=0)
+    k = KernelFunction(kernel_name="random_map", d=2, map=rm)
+    K = np.asarray(k.cross(x, y))
+    H1 = np.asarray(rm.map(jnp.asarray(x)))
+    H2 = np.asarray(rm.map(jnp.asarray(y)))
+    assert np.allclose(K, H1 @ H2.T, atol=1e-9)
