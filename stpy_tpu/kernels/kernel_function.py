@@ -349,6 +349,39 @@ class KernelFunction:
                 lines.append(f"    {k}={v}")
         return "\n".join(lines)
 
+    # analytic kernel derivatives (parity: stpy/kernels.py:1065-1111; SE has
+    # the closed form, everything else differentiates through the atom)
+    def derivative_1(self, fixed, x):
+        """d/dx k(fixed_i, x_j): (n_fixed, n_x, d)."""
+        fixed, x = as_array(fixed), as_array(x)
+        if self.kernel_items == 1 and self.optkernel == "squared_exponential":
+            return F.squared_exponential_derivative_1(
+                self.params_dict["0"], fixed, x
+            )
+        import jax
+
+        f = lambda pt: self.eval_params(self.params_dict, fixed, pt[None, :])[
+            :, 0
+        ]
+        return jnp.swapaxes(jax.vmap(jax.jacobian(f))(x), 0, 1)
+
+    def derivative_2(self, fixed, x):
+        """d²/dx² k(fixed_i, x_j): (n_fixed, n_x, d, d)."""
+        fixed, x = as_array(fixed), as_array(x)
+        if self.kernel_items == 1 and self.optkernel == "squared_exponential":
+            return F.squared_exponential_derivative_2(
+                self.params_dict["0"], fixed, x
+            )
+        import jax
+
+        f = lambda pt: self.eval_params(self.params_dict, fixed, pt[None, :])[
+            :, 0
+        ]
+        return jnp.swapaxes(jax.vmap(jax.hessian(f))(x), 0, 1)
+
+    get_1_der = derivative_1  # reference aliases (gauss_procc.py:452-453)
+    get_2_der = derivative_2
+
     # finite embedding (only linear kernel supports one; parity :263-273)
     def embed(self, x):
         if self.optkernel == "linear" and self.kernel_items == 1:

@@ -551,6 +551,20 @@ class GaussianProcess(Estimator, RandomProcess):
     def isin(self, ucb_of_point):  # pragma: no cover - parity stub
         return True
 
+    def gradient_mean_var(self, point, hessian=True):
+        """Gradient of the posterior mean and (optionally) the Hessian-form
+        variance object at a single point (parity: gauss_procc.py:416-444;
+        autodiff instead of hand-assembled kernel derivatives)."""
+        point = as_array(point).reshape(-1)
+        nabla_mu = jax.grad(
+            lambda pt: self.mean_std(pt[None, :])[0][0, 0]
+        )(point)
+        if not hessian:
+            return nabla_mu
+        var_fn = lambda pt: (self.mean_std(pt[None, :])[1][0, 0]) ** 2
+        V = jax.hessian(var_fn)(point)
+        return [nabla_mu, V]
+
     # gradient of the posterior mean (parity: gauss_procc.py:446-459, autodiff)
     def mean_gradient_hessian(self, xtest, hessian=False):
         xtest = as_array(xtest).reshape(-1)

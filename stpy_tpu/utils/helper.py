@@ -53,3 +53,39 @@ def symsqrt(A: jnp.ndarray) -> jnp.ndarray:
 def logdet(L: jnp.ndarray) -> jnp.ndarray:
     """log|A| from a Cholesky factor L of A."""
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+
+def finite_difference_gradient(f, x, eps=1e-6):
+    """Central finite differences (parity: stpy/helpers/helper.py:380-410)."""
+    x = np.asarray(x, dtype=float).ravel()
+    g = np.zeros_like(x)
+    for i in range(x.size):
+        e = np.zeros_like(x)
+        e[i] = eps
+        g[i] = (float(f(x + e)) - float(f(x - e))) / (2 * eps)
+    return g
+
+
+def complex_step_gradient(f, x, eps=1e-20):
+    """Complex-step differentiation (exact to machine precision for
+    holomorphic f; parity helper.py:380)."""
+    x = np.asarray(x, dtype=float).ravel()
+    g = np.zeros_like(x)
+    for i in range(x.size):
+        e = np.zeros(x.size, dtype=complex)
+        e[i] = 1j * eps
+        g[i] = np.imag(f(x.astype(complex) + e)) / eps
+    return g
+
+
+def batch_jacobian(f, x):
+    """Per-row jacobians of f: (n, d_in) -> (n, d_out, d_in) via vmap."""
+    import jax
+
+    return jax.vmap(jax.jacobian(f))(x)
+
+
+def batch_hessian(f, x):
+    import jax
+
+    return jax.vmap(jax.hessian(f))(x)
