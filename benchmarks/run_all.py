@@ -38,12 +38,13 @@ def config1_exact_gp_hyperfit():
     x = rng.uniform(-1, 1, (n, 1))
     y = np.sin(4 * x) + 0.05 * rng.standard_normal((n, 1))
     gp = GaussianProcess(gamma=1.0, s=0.05, d=1)
-    gp.fit_gp(x, y)  # warm compile of the fit path
+    gp.fit_gp(x, y)
 
     def run():
         gp.optimize_params(type="bandwidth", restarts=8, maxiter=100)
         return gp.L
 
+    _timed(run)      # warm-up: compile the vmapped L-BFGS program
     wall, _ = _timed(run)
     gamma = float(gp.kernel_object.params_dict["0"]["gamma"])
     return {
@@ -76,6 +77,7 @@ def config2_ff_vs_exact():
         f = F.sample(xt, size=64, key=jax.random.PRNGKey(0))
         return mu, std, f
 
+    _timed(run)      # warm-up (compile)
     wall, (mu, std, f) = _timed(run)
     return {
         "config": "2d_ff_gp_m512_posterior_sampling",
@@ -107,6 +109,7 @@ def config3_nystrom_50k():
         mu, std = nf.mean_std(x[:2048])
         return mu
 
+    _timed(run)      # warm-up (compile)
     wall, mu = _timed(run)
     resid = float(jnp.abs(mu - y[:2048]).mean())
     return {
@@ -149,6 +152,7 @@ def config4_poisson_2d():
         est.fit_gp()
         return est.rate
 
+    _timed(run)      # warm-up (compile)
     wall, _ = _timed(run)
     D = hierarchy.top_node
     fitted_total = float(est.mean_set(D)[0])
@@ -180,6 +184,7 @@ def config5_cox_mkl_64restarts():
         gp.optimize_params(type="bandwidth", restarts=64, maxiter=100)
         return gp.L
 
+    _timed(run)      # warm-up (compile)
     wall, _ = _timed(run)
     return {
         "config": "cox_mkl_hyperopt_64_vmapped_restarts",

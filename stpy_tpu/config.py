@@ -11,6 +11,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU matmuls default to bf16 inputs (f32 accumulate), which costs ~3 digits
+# on solves/posteriors (observed: 50x larger FF-vs-exact posterior error on
+# TPU than CPU-f32). A GP library is accuracy-critical: force true-f32
+# matmuls. The MXU runs f32xf32 via multi-pass bf16 (~3x slower per matmul);
+# the Pallas Gram kernel keeps its own explicit preferred_element_type.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Default relative jitter added to Gram diagonals before Cholesky, scaled by
 # mean diagonal magnitude. f32 needs more than f64.
 _JITTER_F32 = 1e-6
