@@ -67,6 +67,9 @@ def _gram_kernel(kappa_ref, x_ref, y_ref, o_ref, *, shape_fn):
         xb, yb,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # pinned: Mosaic lowers DEFAULT/HIGHEST only, and the Gram feeds a
+        # Cholesky — keep full f32 products regardless of the global setting
+        precision=jax.lax.Precision.HIGHEST,
     )                                               # (TM, TN) on the MXU
     nx = jnp.sum(xb * xb, axis=1, keepdims=True)    # (TM, 1)
     ny = jnp.sum(yb * yb, axis=1, keepdims=True).T  # (1, TN)
