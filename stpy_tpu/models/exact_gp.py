@@ -281,6 +281,59 @@ class GaussianProcess(Estimator, RandomProcess):
         val = jnp.max(f, axis=0)
         return (as_array(xtest)[idx, :], val)
 
+    def sample_iteratively_max(self, xtest, multistart=20,
+                               minimizer="coordinate-wise", grid=100,
+                               key=None):
+        """Thompson-style iterative max sampling (parity:
+        gauss_procc.py:985-1085).
+
+        Grid mode: the reference's probe-by-probe sequential conditioning is
+        mathematically identical to drawing ONE joint posterior path and
+        taking its argmax — which is a single Cholesky here.
+        Grid-free mode: coordinate-wise maximization of an incrementally
+        conditioned fantasy sample (fantasies appended per axis sweep)."""
+        key = key if key is not None else jax.random.PRNGKey(
+            np.random.randint(2**31)
+        )
+        if xtest is not None:
+            return self.sample_and_max(xtest, size=1, key=key)
+
+        bounds = (
+            jnp.asarray(self.bounds, default_dtype()).reshape(self.d, 2)
+            if self.bounds is not None
+            else jnp.asarray(
+                [[-self.diameter, self.diameter]] * self.d, default_dtype()
+            )
+        )
+        xold, yold = self.x, self.y
+        results = []
+        for _ in range(multistart):
+            key, sub = jax.random.split(key)
+            u = jax.random.uniform(sub, (self.d,), default_dtype())
+            x0 = bounds[:, 0] + u * (bounds[:, 1] - bounds[:, 0])
+            solution = x0
+            last_val = None
+            for i in range(self.d):
+                line = jnp.tile(solution[None, :], (grid, 1))
+                line = line.at[:, i].set(
+                    jnp.linspace(bounds[i, 0], bounds[i, 1], grid)
+                )
+                key, sub = jax.random.split(key)
+                fsample = self.sample(line, size=1, key=sub)
+                # condition on the fantasized line (parity :1050-1056)
+                self.x = jnp.concatenate([self.x, line], axis=0)
+                self.y = jnp.concatenate([self.y, fsample], axis=0)
+                self.fit_gp(self.x, self.y)
+                idx = jnp.argmax(fsample[:, 0])
+                solution = solution.at[i].set(line[idx, i])
+                last_val = fsample[idx, 0]
+            results.append((solution, last_val))
+            self.fit_gp(xold, yold)
+        best = int(np.argmax([float(v) for _, v in results]))
+        sol, val = results[best]
+        self.fit_gp(xold, yold)
+        return sol[None, :], val
+
     def log_probability(self, xtest, sample):
         mu, cov = self.mean_std(xtest, full=True)
         n = mu.shape[0]

@@ -243,3 +243,19 @@ def test_posterior_matches_torch_reference(data1d):
     mu, std = gp.mean_std(xt)
     assert np.allclose(np.asarray(mu)[:, 0], mu_t[:, 0], rtol=1e-6, atol=1e-9)
     assert np.allclose(np.asarray(std)[:, 0], std_t, rtol=1e-6, atol=1e-8)
+
+
+def test_sample_iteratively_max(data1d):
+    x, y, xt = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1, bounds=[[-1.0, 1.0]])
+    gp.fit_gp(x, y)
+    # grid mode
+    pt, val = gp.sample_iteratively_max(xt, key=jax.random.PRNGKey(0))
+    assert -1 <= float(np.asarray(pt).ravel()[0]) <= 1
+    # grid-free coordinate-wise mode (fantasy conditioning)
+    n_before = gp.x.shape[0]
+    pt2, val2 = gp.sample_iteratively_max(
+        None, multistart=2, grid=16, key=jax.random.PRNGKey(1)
+    )
+    assert gp.x.shape[0] == n_before  # data restored
+    assert -1 <= float(pt2[0, 0]) <= 1
