@@ -30,9 +30,23 @@ def minimize_lbfgs(
     max_iter: int = 200,
     tol: float = 1e-8,
     memory_size: int = 10,
+    linesearch: str = "zoom",
 ) -> LBFGSResult:
-    """Minimize `fun` (flat-vector -> scalar) starting from x0. jit/vmap-safe."""
-    opt = optax.lbfgs(memory_size=memory_size)
+    """Minimize `fun` (flat-vector -> scalar) starting from x0. jit/vmap-safe.
+
+    linesearch='zoom' (strong-Wolfe; default) or 'backtracking' (sufficient
+    decrease only — a much smaller XLA program, ~3x faster compiles for the
+    vmapped-restart hyperopt; quality is usually equivalent with L-BFGS
+    scaling)."""
+    if linesearch == "backtracking":
+        opt = optax.lbfgs(
+            memory_size=memory_size,
+            linesearch=optax.scale_by_backtracking_linesearch(
+                max_backtracking_steps=30, store_grad=True
+            ),
+        )
+    else:
+        opt = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(fun)
 
     def cond(carry):
