@@ -145,6 +145,27 @@ class Estimator(ABC):
                 f = f + regularizer_func(xflat)
             return f
 
+        def cost_args(xflat, x, y, params_all, s_cur):
+            """Pure variant for the cached runner: data and stored params are
+            ARGUMENTS (a closure would bake them as trace-time constants and
+            go stale after refits)."""
+            override, s_val = unpack(xflat)
+            merged = {
+                k: {**params_all[k], **override.get(k, {})}
+                for k in params_all
+            }
+            s_use = s_val if "likelihood" in params else s_cur
+            n = x.shape[0]
+            K = kernel.eval_params(merged, x, x)
+            K = 0.5 * (K + K.T) + jnp.eye(n, dtype=K.dtype) * (s_use * s_use)
+            L = chol_jittered(K)
+            alpha = cho_solve(L, y)
+            logdet = -0.5 * logdet_from_chol(L) * weight
+            f = -(-0.5 * (y.T @ alpha)[0, 0] + logdet)
+            if regularizer_func is not None:
+                f = f + regularizer_func(xflat)
+            return f
+
         if optimizer == "bisection":
             # scalar golden-section on the single parameter
             assert dim == 1
@@ -192,18 +213,34 @@ class Estimator(ABC):
             )
             x0s = x0s.at[0].set(warm)
 
-            runner = jax.jit(
-                jax.vmap(
-                    lambda x0: minimize_lbfgs(
-                        cost, x0, max_iter=maxiter, tol=mingradnorm,
-                        # backtracking: same optimum as zoom on these
-                        # objectives, ~3x faster XLA compile for the
-                        # vmapped-restart program
-                        linesearch="backtracking",
+            # cache the compiled runner: a fresh jax.jit wrapper per call
+            # would retrace+recompile the whole vmapped L-BFGS every time.
+            # Data/params are runner ARGUMENTS so the cache stays valid
+            # across refits.
+            cache_key = (
+                tuple((s_[0], s_[1], s_[2]) for s_ in specs),
+                restarts, maxiter, float(mingradnorm), weight,
+                regularizer_func is None, id(kernel),
+            )
+            if not hasattr(self, "_hyperopt_runners"):
+                self._hyperopt_runners = {}
+            if cache_key not in self._hyperopt_runners:
+                self._hyperopt_runners[cache_key] = jax.jit(
+                    jax.vmap(
+                        lambda x0, x, y, pa, sc: minimize_lbfgs(
+                            lambda t: cost_args(t, x, y, pa, sc),
+                            x0, max_iter=maxiter, tol=mingradnorm,
+                            # backtracking: same optimum as zoom here,
+                            # ~3x faster XLA compile
+                            linesearch="backtracking",
+                        ),
+                        in_axes=(0, None, None, None, None),
                     )
                 )
+            result = self._hyperopt_runners[cache_key](
+                x0s, self.x, self.y, kernel.params_dict,
+                jnp.asarray(self.s, dt),
             )
-            result = runner(x0s)
             values = result.value
             best = int(jnp.nanargmin(values))
             best_x = result.x[best]
