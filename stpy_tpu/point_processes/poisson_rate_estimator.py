@@ -323,7 +323,7 @@ class PoissonRateEstimator(RateEstimator):
                     return (
                         -jnp.sum(
                             jnp.where(wmask, weights * jnp.log(lam), 0.0)
-                        ) * self.global_dt ** 0  # weights already counts
+                        )  # weights are multiplicity counts
                         + jnp.sum(tau * (phis_raw @ w))
                         + 0.5 * self.s * jnp.sum(reg * reg)
                     )
