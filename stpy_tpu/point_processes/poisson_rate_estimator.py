@@ -25,7 +25,8 @@ TPU-first redesign:
     multiplicities (the reference's primal path scales input coordinates
     instead — a bug that undercounts duplicates, rate_estimator.py:36-40).
 
-Conformal predictive sets (:1808-1862) are not yet ported (round-2 item).
+Conformal predictive sets (:1808-1962) are implemented below
+(conformal_confidence_set / conformal_confidence / mean_var_conformal_set).
 """
 
 from __future__ import annotations
