@@ -98,7 +98,8 @@ class GaussianProcess(Estimator, RandomProcess):
             K = K + (s * s) * jnp.eye(n, dtype=K.dtype)
             res = safe_cholesky(K)
             alpha = cho_solve(res.L, y)
-            return res.L, alpha
+            # solver status surfaced as data, not exceptions (SURVEY §5)
+            return res.L, alpha, res.ok, res.jitter
 
         def predict(L, alpha, x, xtest, params_dict):
             K_star = kernel.eval_params(params_dict, xtest, x)  # (t, n)
@@ -132,10 +133,15 @@ class GaussianProcess(Estimator, RandomProcess):
         if self._fit_fn is None:
             self._build_jits()
         if Sigma is None:
-            self.L, self.A = self._fit_fn(
+            self.L, self.A, chol_ok, jitter_used = self._fit_fn(
                 x, y, self.kernel_object.params_dict,
                 jnp.asarray(self.s, x.dtype),
             )
+            self.fit_status = {
+                "cholesky_ok": bool(chol_ok),
+                "jitter_used": float(jitter_used),
+                "n": int(self.n),
+            }
         else:
             Sigma = as_array(Sigma)
             K = self.kernel_object.gram(x) + Sigma.T @ Sigma

@@ -259,3 +259,12 @@ def test_sample_iteratively_max(data1d):
     )
     assert gp.x.shape[0] == n_before  # data restored
     assert -1 <= float(pt2[0, 0]) <= 1
+
+
+def test_fit_status_surfaced(data1d):
+    x, y, _ = data1d
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp.fit_gp(x, y)
+    assert gp.fit_status["cholesky_ok"] is True
+    assert gp.fit_status["jitter_used"] >= 0
+    assert gp.fit_status["n"] == 40

@@ -361,3 +361,41 @@ def test_beta_theory(setup_1d):
     est.W_inv_approx = jnp.linalg.pinv(est.W)
     b = est.beta(0)
     assert np.isfinite(b) and b > 0
+
+
+def test_rounds_with_no_observations(setup_1d):
+    """Sensing rounds that observed nothing (obs=None) must contribute their
+    integral term and not break the fit."""
+    process, hierarchy, k = setup_1d
+    est = PoissonRateEstimator(
+        process, hierarchy, d=1, m=16, kernel_object=k, B=5.0, s=1e-3,
+    )
+    leafs = hierarchy.get_sets_level(3)
+    data = [(leafs[0], None, 5.0), (leafs[1], None, 5.0)]
+    key = jax.random.PRNGKey(40)
+    for S in leafs[2:]:
+        key, sub = jax.random.split(key)
+        data.append((S, process.sample_discretized(sub, S, 20.0, n=64), 20.0))
+    est.load_data(data)
+    est.fit_gp()
+    xt = hierarchy.top_node.return_discretization(32)
+    r = np.asarray(est.mean_rate_points(xt)).ravel()
+    assert np.all(np.isfinite(r)) and r.min() > -1e-6
+    # the unobserved leaves should get a LOW estimated rate
+    left = r[np.asarray(xt).ravel() < -0.5].mean()
+    right = r[np.asarray(xt).ravel() > 0.0].mean()
+    assert left < right
+
+
+def test_all_empty_data(setup_1d):
+    """Only empty rounds: MAP should push the rate to the lower bound."""
+    process, hierarchy, k = setup_1d
+    est = PoissonRateEstimator(
+        process, hierarchy, d=1, m=12, kernel_object=k, B=5.0, s=1e-3,
+    )
+    data = [(S, None, 10.0) for S in hierarchy.get_sets_level(3)]
+    est.load_data(data)
+    est.fit_gp()
+    xt = hierarchy.top_node.return_discretization(16)
+    r = np.asarray(est.mean_rate_points(xt)).ravel()
+    assert r.max() < 0.3  # near the lower bound b=0
