@@ -7,3 +7,4 @@ from stpy_tpu.parallel.mesh import (
     restart_farm,
 )
 from stpy_tpu.parallel.iterative import IterativeGP, cg_solve
+from stpy_tpu.parallel.slq import slq_logdet, slq_trace_fn, evidence_matvec_only

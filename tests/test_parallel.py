@@ -161,3 +161,65 @@ def test_iterative_gp_pathwise_sampling():
     gp.fit_gp(x, y)
     mu_ref, _ = gp.mean_std(xt)
     assert np.abs(jnp.mean(paths, axis=1) - mu_ref[:, 0]).max() < 0.15
+
+
+def test_slq_logdet_matches_dense():
+    from stpy_tpu.parallel.slq import slq_logdet, slq_trace_fn
+
+    rng = np.random.default_rng(0)
+    n = 200
+    A = rng.standard_normal((n, n))
+    A = A @ A.T / n + np.eye(n)
+    Aj = jnp.asarray(A)
+    ld_true = float(np.linalg.slogdet(A)[1])
+    est, vals = slq_logdet(
+        lambda v: Aj @ v, n, probes=64, lanczos_iters=40,
+        key=jax.random.PRNGKey(0), dtype=Aj.dtype,
+    )
+    assert abs(float(est) - ld_true) / abs(ld_true) < 0.05
+    tr_inv = slq_trace_fn(
+        lambda v: Aj @ v, n, lambda w: 1.0 / w, probes=64,
+        lanczos_iters=40, key=jax.random.PRNGKey(1), dtype=Aj.dtype,
+    )
+    assert abs(float(tr_inv) - np.trace(np.linalg.inv(A))) / n < 0.1
+
+
+def test_evidence_matvec_only_matches_dense():
+    from stpy_tpu.parallel.slq import evidence_matvec_only
+
+    rng = np.random.default_rng(1)
+    n = 128
+    x = rng.uniform(-1, 1, (n, 1))
+    y = np.sin(3 * x)
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.4, d=1)
+    K = np.asarray(k.gram(x)) + 0.01 * np.eye(n)
+    Kj = jnp.asarray(K)
+    ref = 0.5 * float(y.T @ np.linalg.solve(K, y)) + 0.5 * float(
+        np.linalg.slogdet(K)[1]
+    )
+    est = evidence_matvec_only(
+        lambda v: Kj @ v, jnp.asarray(y), n, probes=64, lanczos_iters=50,
+        key=jax.random.PRNGKey(2),
+    )
+    assert abs(float(est) - ref) / abs(ref) < 0.08
+
+
+def test_slq_with_sharded_matvec(mesh8):
+    """SLQ logdet through the row-sharded matvec — distributed evidence."""
+    from stpy_tpu.parallel import IterativeGP
+    from stpy_tpu.parallel.slq import slq_logdet
+
+    rng = np.random.default_rng(2)
+    n = 64
+    x = rng.uniform(-1, 1, (n, 1))
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.4, d=1)
+    with mesh8:
+        igp = IterativeGP(k, s=0.1, mesh=mesh8, axis="tp")
+        matvec, _ = igp._matvec_factory(jnp.asarray(x))
+        est, _ = slq_logdet(
+            matvec, n, probes=64, lanczos_iters=30,
+            key=jax.random.PRNGKey(3), dtype=jnp.asarray(x).dtype,
+        )
+    K = np.asarray(k.gram(x)) + 0.01 * np.eye(n)
+    ld_true = float(np.linalg.slogdet(K)[1])
+    assert abs(float(est) - ld_true) < 0.15 * max(abs(ld_true), 1.0)
