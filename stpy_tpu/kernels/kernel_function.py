@@ -174,21 +174,26 @@ class KernelFunction:
                 )
             return fn
         if name == "matern":
-            def fn(p, a, b):
-                ga = a if group is None else a[:, jnp.asarray(group)]
-                gb = b if group is None else b[:, jnp.asarray(group)]
-                return pallas_gram.gram_matern(
-                    ga, gb, p["gamma"], p.get("kappa", 1.0), nu=nu
-                )
-            return fn
+            if nu in (0.5, 1.5, 2.5):
+                def fn(p, a, b):
+                    ga = a if group is None else a[:, jnp.asarray(group)]
+                    gb = b if group is None else b[:, jnp.asarray(group)]
+                    return pallas_gram.gram_matern(
+                        ga, gb, p["gamma"], p.get("kappa", 1.0), nu=nu
+                    )
+                return fn
+            # general ν: on-device Bessel K_ν path (no Pallas fast path)
+            return functools.partial(F.matern, group=group, nu=nu)
         if name == "ard_matern":
-            def fn(p, a, b):
-                idx = jnp.asarray(group)
-                return pallas_gram.gram_matern(
-                    a[:, idx], b[:, idx], p["ard_gamma"][idx],
-                    p.get("kappa", 1.0), nu=nu,
-                )
-            return fn
+            if nu in (0.5, 1.5, 2.5):
+                def fn(p, a, b):
+                    idx = jnp.asarray(group)
+                    return pallas_gram.gram_matern(
+                        a[:, idx], b[:, idx], p["ard_gamma"][idx],
+                        p.get("kappa", 1.0), nu=nu,
+                    )
+                return fn
+            return functools.partial(F.ard_matern, group=group, nu=nu)
 
         table = {
             "laplace": functools.partial(F.laplace, group=group),

@@ -297,3 +297,43 @@ def test_random_map_kernel():
     H1 = np.asarray(rm.map(jnp.asarray(x)))
     H2 = np.asarray(rm.map(jnp.asarray(y)))
     assert np.allclose(K, H1 @ H2.T, atol=1e-9)
+
+
+def test_bessel_kv_matches_scipy():
+    from scipy.special import kv as scipy_kv
+    from stpy_tpu.kernels.functions import bessel_kv
+
+    xs = np.logspace(-3, 1.4, 30)
+    for nu in [0.3, 0.7, 1.2, 2.2, 3.3]:
+        mine = np.asarray(bessel_kv(nu, jnp.asarray(xs)))
+        ref = scipy_kv(nu, xs)
+        rel = np.abs(mine - ref) / np.abs(ref)
+        assert rel.max() < 1e-10, (nu, rel.max())
+
+
+@pytest.mark.parametrize("nu", [0.8, 1.2, 3.3])
+def test_general_nu_matern_matches_scipy(xy, nu):
+    """General-ν Matérn kernel vs the scipy-based closed form the reference
+    uses (stpy/kernels.py:852-858)."""
+    import math
+    from scipy.special import kv as scipy_kv
+
+    x, y = xy
+    gamma = 0.9
+    k = KernelFunction(kernel_name="matern", gamma=gamma, nu=nu, d=3)
+    K = np.asarray(k.cross(x, y))
+    r = np.sqrt(((x[:, None] - y[None]) ** 2).sum(-1)) / gamma
+    r = np.maximum(r, 1e-10)
+    arg = np.sqrt(2 * nu) * r
+    ref = (2 ** (1 - nu) / math.gamma(nu)) * arg**nu * scipy_kv(nu, arg)
+    assert np.abs(K - ref).max() < 1e-9
+    # GP with general-nu matern fits end to end
+    from stpy_tpu.models import GaussianProcess
+
+    rng = np.random.default_rng(0)
+    xd = rng.uniform(-1, 1, (30, 1))
+    yd = np.sin(3 * xd)
+    gp = GaussianProcess(kernel_name="matern", gamma=0.4, nu=nu, s=0.05, d=1)
+    gp.fit_gp(xd, yd)
+    mu, std = gp.mean_std(xd)
+    assert np.abs(np.asarray(mu) - yd).mean() < 0.05
