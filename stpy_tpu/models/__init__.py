@@ -8,3 +8,4 @@ from stpy_tpu.models.trace_features import TraceFeatures
 from stpy_tpu.models.truncated_features import TruncatedKernelizedFeatures
 from stpy_tpu.models.convex_rkhs import ConvexRKHS
 from stpy_tpu.models.gamma_process import GammaContProcess
+from stpy_tpu.models.online_gp import OnlineGP

@@ -268,3 +268,31 @@ def test_fit_status_surfaced(data1d):
     assert gp.fit_status["cholesky_ok"] is True
     assert gp.fit_status["jitter_used"] >= 0
     assert gp.fit_status["n"] == 40
+
+
+def test_online_gp_matches_batch_and_is_jit_stable(data1d):
+    """Capacity-padded OnlineGP: posterior equals the batch GP at every step,
+    and add/predict never recompile across steps."""
+    from stpy_tpu.models.online_gp import OnlineGP
+    from stpy_tpu.kernels import KernelFunction
+
+    x, y, xt = data1d
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=1)
+    og = OnlineGP(k, s=0.1, capacity=64, d=1)
+    for i in range(25):
+        og.add_data_point(x[i : i + 1], y[i : i + 1])
+    mu_o, std_o = og.mean_std(xt)
+
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp.fit_gp(x[:25], y[:25])
+    mu_b, std_b = gp.mean_std(xt)
+    assert np.allclose(mu_o, mu_b, atol=1e-7)
+    assert np.allclose(std_o, std_b, atol=1e-7)
+
+    # jit stability: no retraces after the first add/predict
+    n_traces_add = og._add_jit._cache_size()
+    n_traces_pred = og._predict_jit._cache_size()
+    og.add_data_point(x[25:26], y[25:26])
+    og.mean_std(xt)
+    assert og._add_jit._cache_size() == n_traces_add
+    assert og._predict_jit._cache_size() == n_traces_pred
