@@ -296,3 +296,24 @@ def test_online_gp_matches_batch_and_is_jit_stable(data1d):
     og.mean_std(xt)
     assert og._add_jit._cache_size() == n_traces_add
     assert og._predict_jit._cache_size() == n_traces_pred
+
+
+def test_composite_kernel_hyperopt(data1d):
+    """Hyperopt must round-trip params of BOTH atoms of k1 + k2
+    (SURVEY hard-part #4: kernel-algebra params into the optimizer)."""
+    x, y, _ = data1d
+    k = (
+        KernelFunction(kernel_name="squared_exponential", gamma=2.0, d=1)
+        + KernelFunction(kernel_name="squared_exponential", gamma=0.1, d=1)
+    )
+    gp = GaussianProcess(kernel=k, s=0.1)
+    gp.fit_gp(x, y)
+    before = float(gp.log_marginal(k, {}, 1.0))
+    gp.optimize_params(type="bandwidth", restarts=4, maxiter=100)
+    after = float(gp.log_marginal(k, {}, 1.0))
+    assert after <= before + 1e-8
+    g0 = float(k.params_dict["0"]["gamma"])
+    g1 = float(k.params_dict["1"]["gamma"])
+    # both atoms' lengthscales were written back and are positive
+    assert g0 > 0 and g1 > 0
+    assert (g0, g1) != (2.0, 0.1)
