@@ -24,6 +24,7 @@ from stpy_tpu.embeddings.positive import (
     FaberSchauderEmbedding,
     KuhnExponentialEmbedding,
     BumpsEmbedding,
+    CustomHaarBumps,
 )
 from stpy_tpu.embeddings.bernstein import (
     BernsteinEmbedding,

@@ -15,4 +15,5 @@ from stpy_tpu.point_processes.mbr_estimator import MBRPositiveEstimator
 from stpy_tpu.point_processes.binomial import (
     BernoulliPointProcess,
     BernoulliRateEstimator,
+    LinkBernoulliRateEstimator,
 )

@@ -21,5 +21,6 @@ from stpy_tpu.regularization.constraints import (
     AbsoluteValueConstraint,
     QuadraticInequalityConstraint,
     NonConvexNormConstraint,
+    NonConvexGroupNormConstraint,
     SDPConstraint,
 )
