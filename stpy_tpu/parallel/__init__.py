@@ -8,3 +8,8 @@ from stpy_tpu.parallel.mesh import (
 )
 from stpy_tpu.parallel.iterative import IterativeGP, cg_solve
 from stpy_tpu.parallel.slq import slq_logdet, slq_trace_fn, evidence_matvec_only
+from stpy_tpu.parallel.blocked import (
+    blocked_cholesky,
+    chol_sharded,
+    DistributedExactGP,
+)
