@@ -11,6 +11,7 @@ scale-out.
 __version__ = "0.1.0"
 
 from stpy_tpu.config import default_dtype, default_jitter
+from stpy_tpu.configs import GPConfig, KernelConfig, PoissonRateConfig
 from stpy_tpu.domains import (
     BallSet,
     BorelSet,
