@@ -195,8 +195,16 @@ class KernelFunction:
                 return fn
             return functools.partial(F.ard_matern, group=group, nu=nu)
 
+        if name == "laplace":
+            def fn(p, a, b):
+                ga = a if group is None else a[:, jnp.asarray(group)]
+                gb = b if group is None else b[:, jnp.asarray(group)]
+                return pallas_gram.gram_laplace(
+                    ga, gb, p["gamma"], p.get("kappa", 1.0)
+                )
+            return fn
+
         table = {
-            "laplace": functools.partial(F.laplace, group=group),
             "modified_matern": functools.partial(
                 F.modified_matern, group=group, nu=int(static.get("nu", 2))
             ),

@@ -192,6 +192,112 @@ def _gram_bwd(family, nu, res, g):
 _gram.defvjp(_gram_fwd, _gram_bwd)
 
 
+# --- Laplace (L1/Manhattan) family ------------------------------------------
+#
+# No matmul identity exists for L1 distances, so this kernel is VPU-bound:
+# per (TM, TN) tile it accumulates |x[:,c] - y[c,:]| over a STATICALLY
+# UNROLLED feature loop (static lane/sublane slices lower cleanly in Mosaic;
+# y arrives pre-transposed so the broadcast is (TM,1)-(1,TN) with no
+# in-kernel relayout). The win vs the jnp path is memory, not FLOPs: no
+# materialized (n, m, d) difference tensor round-tripping HBM — the tile
+# accumulator lives in VMEM registers. Replaces the reference's sklearn
+# manhattan_distances call (stpy/kernels.py:347-366).
+
+_L1_MAX_UNROLL = 128
+
+
+def _gram_l1_kernel(kappa_ref, invg_ref, x_ref, yT_ref, o_ref, *, d):
+    xb = x_ref[:]                                   # (TM, dp)
+    yb = yT_ref[:]                                  # (dp, TN)
+    acc = jnp.zeros((xb.shape[0], yb.shape[1]), jnp.float32)
+    for c in range(d):                              # static unroll
+        acc = acc + jnp.abs(xb[:, c:c + 1] - yb[c:c + 1, :])
+    o_ref[:] = (kappa_ref[0, 0]
+                * jnp.exp(-acc * invg_ref[0, 0])).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "interpret")
+)
+def _gram_l1_pallas(xs, ys, inv_g2, kappa,
+                    *, block_m: int, block_n: int, interpret: bool):
+    n, d = xs.shape
+    m = ys.shape[0]
+    dp = _round_up(max(d, 1), 8)
+    np_, mp = _round_up(n, block_m), _round_up(m, block_n)
+    xs = jnp.pad(xs, ((0, np_ - n), (0, _round_up(d, 128) - d)))
+    ysT = jnp.pad(ys, ((0, mp - m), (0, dp - d))).T  # (dp, mp)
+    xs = xs.astype(jnp.float32)
+    ysT = ysT.astype(jnp.float32)
+
+    kern = functools.partial(_gram_l1_kernel, d=d)
+    out = pl.pallas_call(
+        kern,
+        grid=(np_ // block_m, mp // block_n),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, xs.shape[1]), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * np_ * mp * d,
+            bytes_accessed=4 * (np_ * d + mp * d + np_ * mp),
+            transcendentals=np_ * mp,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(kappa, jnp.float32).reshape(1, 1),
+      jnp.asarray(inv_g2, jnp.float32).reshape(1, 1),
+      xs, ysT)
+    return out[:n, :m]
+
+
+@jax.custom_vjp
+def _gram_l1(xs, ys, gamma, kappa):
+    """kappa * exp(-||x - y||_1 / gamma^2)."""
+    inv_g2 = 1.0 / (gamma * gamma)
+    if _use_pallas(xs.shape[0], ys.shape[0]) and xs.shape[1] <= _L1_MAX_UNROLL:
+        return _gram_l1_pallas(
+            xs, ys, inv_g2, kappa, block_m=256, block_n=256, interpret=False,
+        ).astype(xs.dtype)
+    D = F.manhattan_dist(xs, ys)
+    return kappa * jnp.exp(-D * inv_g2)
+
+
+def _gram_l1_fwd(xs, ys, gamma, kappa):
+    return _gram_l1(xs, ys, gamma, kappa), (xs, ys, gamma, kappa)
+
+
+def _gram_l1_bwd(res, g):
+    """Closed-form backward; plain jnp (hyperopt-scale n)."""
+    xs, ys, gamma, kappa = res
+    D = F.manhattan_dist(xs, ys)
+    inv_g2 = 1.0 / (gamma * gamma)
+    K = jnp.exp(-D * inv_g2)
+    W = g * kappa * K * inv_g2                       # = -g dK/dD (n, m)
+    sgn = jnp.sign(xs[:, None, :] - ys[None, :, :])  # (n, m, d)
+    d_xs = -jnp.einsum("nm,nmd->nd", W, sgn)
+    d_ys = jnp.einsum("nm,nmd->md", W, sgn)
+    d_gamma = jnp.sum(W * D) * (2.0 / gamma)
+    d_kappa = jnp.sum(g * K)
+    return d_xs, d_ys, d_gamma, d_kappa
+
+
+_gram_l1.defvjp(_gram_l1_fwd, _gram_l1_bwd)
+
+
+def gram_laplace(x, y, gamma, kappa=1.0):
+    """Fused Laplace Gram: kappa * exp(-manhattan(x, y)/gamma^2)."""
+    return _gram_l1(x, y, gamma, kappa)
+
+
 # --- public API -------------------------------------------------------------
 
 def gram_se(x, y, gamma, kappa=1.0):
@@ -210,4 +316,6 @@ def gram(x, y, *, family="se", gamma=1.0, kappa=1.0, nu=1.5):
         return gram_se(x, y, gamma, kappa)
     if family == "matern":
         return gram_matern(x, y, gamma, kappa, nu)
+    if family == "laplace":
+        return gram_laplace(x, y, gamma, kappa)
     raise NotImplementedError(family)

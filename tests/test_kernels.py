@@ -337,3 +337,48 @@ def test_general_nu_matern_matches_scipy(xy, nu):
     gp.fit_gp(xd, yd)
     mu, std = gp.mean_std(xd)
     assert np.abs(np.asarray(mu) - yd).mean() < 0.05
+
+
+def test_laplace_pallas_interpret_matches_jnp():
+    from stpy_tpu.ops.pallas_gram import _gram_l1_pallas
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (70, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, 1, (50, 3)), jnp.float32)
+    g = 0.8
+    out = _gram_l1_pallas(x, y, 1.0 / (g * g), 1.3, block_m=8,
+                          block_n=128, interpret=True)
+    ref = 1.3 * jnp.exp(-F.manhattan_dist(x, y) / (g * g))
+    assert np.allclose(out, ref, atol=1e-5)
+
+
+def test_laplace_gram_custom_vjp_matches_autodiff():
+    from stpy_tpu.ops.pallas_gram import gram_laplace
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(-1, 1, (12, 2)))
+    y = jnp.asarray(rng.uniform(-1, 1, (9, 2)))
+
+    def loss_custom(g, k):
+        return jnp.sum(gram_laplace(x, y, g, k) ** 2)
+
+    def loss_ref(g, k):
+        return jnp.sum((k * jnp.exp(-F.manhattan_dist(x, y) / g**2)) ** 2)
+
+    gg, gk = jax.grad(loss_custom, argnums=(0, 1))(0.7, 1.2)
+    rg, rk = jax.grad(loss_ref, argnums=(0, 1))(0.7, 1.2)
+    assert np.allclose(gg, rg, rtol=1e-8)
+    assert np.allclose(gk, rk, rtol=1e-8)
+    # d/dx path (sign-based) against autodiff of the jnp formula
+    dx = jax.grad(lambda xx: jnp.sum(gram_laplace(xx, y, 0.7, 1.2)))(x)
+    dref = jax.grad(
+        lambda xx: jnp.sum(1.2 * jnp.exp(-F.manhattan_dist(xx, y) / 0.49))
+    )(x)
+    assert np.allclose(dx, dref, rtol=1e-8)
+
+
+def test_laplace_kernelfunction_uses_fast_path():
+    k = KernelFunction(kernel_name="laplace", gamma=0.6, d=2, kappa=1.1)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(-1, 1, (20, 2)))
+    G = k.eval_params(k.params_dict, x, x)
+    ref = 1.1 * jnp.exp(-F.manhattan_dist(x, x) / 0.36)
+    assert np.allclose(G, ref, atol=1e-10)
