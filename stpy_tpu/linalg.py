@@ -93,6 +93,14 @@ def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 2048,
     Total work 2·n²·t GEMM FLOPs on the MXU — ~2x the nominal trisolve FLOPs
     but at full matmul throughput, several times faster in wall time.
 
+    Schedule: DIVIDE-AND-CONQUER rather than a block loop. With static-shape
+    halving  X_top = L11⁻¹ B_top;  B_bot −= L21 X_top;  X_bot = L22⁻¹ B_bot,
+    the off-diagonal GEMMs sum to exactly n²·t FLOPs (the loop formulation
+    multiplies the full X buffer every step and does 2·n²·t — measured 1.9x
+    slower at n = t = 16k). Leaves (nb, nb) invert the diagonal block once
+    and GEMM it into the RHS. Recursion happens at trace time (depth
+    log₂(n/nb)), so the compiled program is a static DAG of GEMMs.
+
     `precision` defaults to HIGH (bf16x3): the substitution GEMMs feed
     predictive-variance sums where this costs < 5e-5 absolute (measured vs
     f64 at n=4096) — well below the f32 pipeline's 4e-4 mean-error floor —
@@ -101,33 +109,29 @@ def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 2048,
     """
     if precision is None:
         precision = jax.lax.Precision.HIGH
-    n, t = B.shape
+    n = B.shape[0]
     pad = (-n) % nb
     if pad:
         Lp = jnp.zeros((n + pad, n + pad), L.dtype)
         Lp = Lp.at[:n, :n].set(L)
         Lp = Lp.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
         Bp = jnp.pad(B, ((0, pad), (0, 0)))
-        return tri_solve_blocked(Lp, Bp, nb, precision=precision)[:n]
+        return _tri_rec(Lp, Bp, nb, precision)[:n]
+    return _tri_rec(L, B, nb, precision)
+
+
+def _tri_rec(L, B, nb, precision):
+    n = L.shape[0]
     k = n // nb
-    # (k, nb, nb) diagonal blocks
-    diag = jax.vmap(
-        lambda i: jax.lax.dynamic_slice(L, (i * nb, i * nb), (nb, nb))
-    )(jnp.arange(k))
-    eye = jnp.eye(nb, dtype=L.dtype)
-    Linv = jax.vmap(
-        lambda Lb: jax.scipy.linalg.solve_triangular(Lb, eye, lower=True)
-    )(diag)
-
-    def body(i, X):
-        strip = jax.lax.dynamic_slice(L, (i * nb, 0), (nb, n))
-        S = jax.lax.dot(strip, X, precision=precision)    # GEMM on the MXU
-        Bi = jax.lax.dynamic_slice(B, (i * nb, 0), (nb, t))
-        Xi = jax.lax.dot(Linv[i], Bi - S, precision=precision)
-        return jax.lax.dynamic_update_slice(X, Xi, (i * nb, 0))
-
-    X = jax.lax.fori_loop(0, k, body, jnp.zeros_like(B))
-    return X
+    if k == 1:
+        eye = jnp.eye(n, dtype=L.dtype)
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        return jax.lax.dot(Linv, B, precision=precision)
+    h = (k // 2) * nb
+    X1 = _tri_rec(L[:h, :h], B[:h], nb, precision)
+    B2 = B[h:] - jax.lax.dot(L[h:, :h], X1, precision=precision)
+    X2 = _tri_rec(L[h:, h:], B2, nb, precision)
+    return jnp.concatenate([X1, X2], axis=0)
 
 
 def tri_solve_chunked(L: jnp.ndarray, B: jnp.ndarray, chunk: int = 1024,
