@@ -57,3 +57,12 @@ def test_distributed_exact_gp_matches_dense_gp():
 
     assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-6
     assert float(jnp.max(jnp.abs(std - std_ref))) < 1e-6
+
+
+def test_chol_recursive_matches_dense():
+    from stpy_tpu.linalg import chol_recursive
+    K = _spd(300, key=5)  # padding path (300 % 128 != 0)
+    L = chol_recursive(K, nb=128)
+    Lref = jnp.linalg.cholesky(K)
+    assert L.shape == (300, 300)
+    assert float(jnp.max(jnp.abs(L - Lref))) < 1e-8
