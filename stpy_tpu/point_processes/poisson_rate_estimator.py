@@ -32,6 +32,8 @@ Conformal predictive sets (:1808-1962) are implemented below
 from __future__ import annotations
 
 import numpy as np
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -59,6 +61,36 @@ from stpy_tpu.opt.scalar import bisection
 from stpy_tpu.point_processes.rate_estimator import RateEstimator
 
 
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _map_count_record_lbfgs(phis_raw, obs_raw, mult, invG_half, s, l, u, w0,
+                            max_iter=3000):
+    """Jit-stable count-record MAP solve (sigmoid-reparam L-BFGS on the box).
+
+    Module-level jit with the data as ARGUMENTS: together with the
+    power-of-2 padding of phis/observations (rate_estimator.py jit_pad), a
+    whole active-sensing campaign reuses O(log n) compiled programs instead
+    of re-tracing the solver every round."""
+    eps = 1e-4
+    l_arr = jnp.asarray(l) + eps
+    span = jnp.asarray(u) - l_arr
+    t0 = jnp.clip((w0 - l_arr) / span, 1e-4, 1 - 1e-4)
+    z0 = jnp.log(t0) - jnp.log1p(-t0)
+
+    def obj(z):
+        w = l_arr + span * jax.nn.sigmoid(z)
+        lam = jnp.clip(obs_raw @ w, 1e-12)
+        reg = invG_half @ w
+        return (
+            -jnp.sum(mult * jnp.log(lam))
+            + jnp.sum(phis_raw @ w)
+            + 0.5 * s * jnp.sum(reg * reg)
+        )
+
+    res = minimize_lbfgs(obj, z0, max_iter=max_iter, tol=1e-9, memory_size=30)
+    return l_arr + span * jax.nn.sigmoid(res.x)
+
+
 class PoissonRateEstimator(RateEstimator):
     def __init__(
         self, process, hierarchy, d=1, m=100, kernel_object=None, B=1.0,
@@ -68,7 +100,7 @@ class PoissonRateEstimator(RateEstimator):
         sampling="proximal+prox", peeking=True, constraints=True,
         var_cor_on=True, samples_nystrom=15000, inverted_constraint=False,
         steps=None, dual=False, no_anchor_points=1024, U=1.0, opt="torch",
-        key=None,
+        key=None, jit_pad=True,
     ):
         self.process = process
         self.d = d
@@ -87,6 +119,7 @@ class PoissonRateEstimator(RateEstimator):
         self.inverted_constraint = inverted_constraint
         self.loglikelihood = 0.0
         self.dual = dual
+        self.jit_pad = jit_pad
         self.peeking = peeking
         self.no_anchor_points = no_anchor_points
         self.var_cor_on = var_cor_on
@@ -293,15 +326,15 @@ class PoissonRateEstimator(RateEstimator):
             if self.observations is not None:
                 obs_raw = self.observations @ invG_half
                 mult = self.obs_multiplicities
-
-                def objective(w):
-                    lam = jnp.clip(obs_raw @ w, 1e-12)
-                    reg = invG_half @ w
-                    return (
-                        -jnp.sum(mult * jnp.log(lam))
-                        + jnp.sum(phis_raw @ w)
-                        + 0.5 * self.s * jnp.sum(reg * reg)
-                    )
+                w0 = self._warm_start_w(G_half)
+                if w0 is None:
+                    w0 = jnp.full((self.get_m(),), 0.1, default_dtype())
+                w_star = _map_count_record_lbfgs(
+                    phis_raw, obs_raw, mult, invG_half,
+                    jnp.asarray(self.s, default_dtype()), l, u, w0,
+                )
+                self.rate = invG_half @ w_star
+                return self.rate
             else:
 
                 def objective(w):
@@ -440,6 +473,12 @@ class PoissonRateEstimator(RateEstimator):
             )
         var = jnp.asarray(variances, default_dtype())
         counts = self.counts
+        if var.shape[0] < counts.shape[0]:
+            # jit_pad appends zero-count/zero-phi rounds; unit variance keeps
+            # their residuals exactly zero
+            var = jnp.pad(
+                var, (0, counts.shape[0] - var.shape[0]), constant_values=1.0
+            )
 
         def objective(w):
             r = (phis_raw @ w - counts) / jnp.sqrt(var)

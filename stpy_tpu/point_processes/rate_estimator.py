@@ -21,7 +21,76 @@ import jax.numpy as jnp
 from stpy_tpu.config import as_array, default_dtype
 
 
+_JIT_PAD_MIN = 8
+
+
+def _next_pow2(n: int, minimum: int = _JIT_PAD_MIN) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
 class RateEstimator:
+    # -- jit-stable shapes (SURVEY hard-part #3 for the sensing loop) ----------
+    # Active sensing appends one round per step; naive torch.cat-style growth
+    # (reference rate_estimator.py:77-131) would re-trace every jitted fit on
+    # every round. With jit_pad on (default for count-record feedback), phis/
+    # counts/observations/multiplicities are padded to the next power-of-2 row
+    # count: padded rounds have zero phi rows and zero counts, padded
+    # observations have zero embeddings with multiplicity 0, so every
+    # likelihood/covariance consumer is unchanged — and a whole sensing
+    # campaign costs O(log n) compilations instead of O(n).
+    def _padding_active(self):
+        return (
+            bool(getattr(self, "jit_pad", False))
+            and getattr(self, "feedback", None) == "count-record"
+            and not getattr(self, "dual", False)
+        )
+
+    def _trim_padding(self):
+        ntr = getattr(self, "_n_rounds_true", None)
+        if ntr is None:
+            return
+        self.phis = self.phis[:ntr]
+        self.counts = self.counts[:ntr]
+        if self.observations is not None and self._n_obs_true:
+            self.observations = self.observations[: self._n_obs_true]
+            self.obs_multiplicities = self.obs_multiplicities[
+                : self._n_obs_true
+            ]
+        self._n_rounds_true = None
+
+    def _apply_padding(self):
+        if not self._padding_active() or getattr(self, "phis", None) is None:
+            self._n_rounds_true = None
+            return
+        self._n_rounds_true = int(self.phis.shape[0])
+        r = _next_pow2(self._n_rounds_true)
+        self.phis = jnp.pad(
+            self.phis, ((0, r - self._n_rounds_true), (0, 0))
+        )
+        self.counts = jnp.pad(self.counts, (0, r - self._n_rounds_true))
+        if self.observations is not None:
+            self._n_obs_true = int(self.observations.shape[0])
+            o = _next_pow2(self._n_obs_true)
+            self.observations = jnp.pad(
+                self.observations, ((0, o - self._n_obs_true), (0, 0))
+            )
+            self.obs_multiplicities = jnp.pad(
+                self.obs_multiplicities, (0, o - self._n_obs_true)
+            )
+        else:
+            self._n_obs_true = 0
+
+    @property
+    def n_rounds(self):
+        """Number of TRUE sensing rounds (self.phis may be padded)."""
+        ntr = getattr(self, "_n_rounds_true", None)
+        if ntr is not None:
+            return ntr
+        return int(self.phis.shape[0]) if getattr(self, "data", None) else 0
+
     def get_min_max(self):
         basic_sets = self.hierarchy.get_sets_level(self.hierarchy.levels)
         volumes = [s.volume() for s in basic_sets]
@@ -88,12 +157,14 @@ class RateEstimator:
         )
         if self.feedback == "count-record":
             self.bucketization()
+        self._apply_padding()
 
     def add_data_point(self, new_data, times=True):
         self.approx_fit = False
         if self.data is None:
             self.load_data([new_data])
             return
+        self._trim_padding()
         self.data.append(new_data)
         S, obs, dt = new_data
         if obs is not None:
@@ -142,6 +213,7 @@ class RateEstimator:
                     self.total_bucketized_time = (
                         self.total_bucketized_time.at[index].add(dt)
                     )
+        self._apply_padding()
 
     # -- rate evaluation (parity: rate_estimator.py:136-178) -------------------
     def mean_rate(self, S, n=128):

@@ -191,7 +191,9 @@ def test_add_data_point_incremental(setup_1d):
     for d in data[4:]:
         est.add_data_point(d)
     est.fit_gp()
-    assert est.phis.shape[0] == len(data)
+    assert est.n_rounds == len(data)
+    # jit_pad: stored arrays are padded to the next power of 2
+    assert est.phis.shape[0] >= len(data)
     assert np.all(np.isfinite(np.asarray(est.rate)))
 
 
@@ -399,3 +401,41 @@ def test_all_empty_data(setup_1d):
     xt = hierarchy.top_node.return_discretization(16)
     r = np.asarray(est.mean_rate_points(xt)).ravel()
     assert r.max() < 0.3  # near the lower bound b=0
+
+
+def test_jit_pad_fit_matches_unpadded_and_bounds_recompiles(setup_1d):
+    from stpy_tpu.point_processes.poisson_rate_estimator import (
+        _map_count_record_lbfgs,
+    )
+
+    process, hierarchy, k = setup_1d
+    data, key = _sense_all(process, hierarchy, jax.random.PRNGKey(11),
+                           dt=20.0)
+
+    est_p = PoissonRateEstimator(
+        process, hierarchy, d=1, m=16, kernel_object=k, B=5.0, s=0.1,
+        jit_pad=True,
+    )
+    est_u = PoissonRateEstimator(
+        process, hierarchy, d=1, m=16, kernel_object=k, B=5.0, s=0.1,
+        jit_pad=False,
+    )
+    est_p.load_data(data)
+    est_u.load_data(data)
+    est_p.fit_gp()
+    est_u.fit_gp()
+    # padded rounds/observations carry zero weight: identical MAP
+    assert np.allclose(np.asarray(est_p.rate), np.asarray(est_u.rate),
+                       atol=1e-6)
+
+    # sensing loop: rounds 5..10 all fit at padded size 16 -> the jitted MAP
+    # runner compiles at most once per power-of-2 bucket, not per round
+    cache0 = _map_count_record_lbfgs._cache_size()
+    S = hierarchy.get_sets_level(hierarchy.levels)[0]
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        obs = process.sample_discretized(sub, S, 20.0, n=64)
+        est_p.add_data_point((S, obs, 20.0))
+        est_p.fit_gp()
+    grown = _map_count_record_lbfgs._cache_size() - cache0
+    assert grown <= 3, f"MAP runner recompiled {grown}x in 4 rounds"
