@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from stpy_tpu.kernels import KernelFunction
-from stpy_tpu.linalg import safe_cholesky, cho_solve, tri_solve_blocked
+from stpy_tpu.linalg import safe_cholesky, cho_solve_blocked, tri_solve_blocked
 
 N = 16384
 NTEST = 16384
@@ -47,7 +47,9 @@ def main():
         # Cholesky reads only the lower triangle; fused Gram is symmetric
         K = K + (s * s) * jnp.eye(N, dtype=K.dtype)
         L = safe_cholesky(K).L
-        alpha = cho_solve(L, y)
+        # blocked solve shares its diagonal-block inverses (CSE) with the
+        # variance solve below
+        alpha = cho_solve_blocked(L, y)
         K_star = kernel.eval_params(pd, xt, x)
         mu = K_star @ alpha
         V = tri_solve_blocked(L, K_star.T)

@@ -134,6 +134,49 @@ def _tri_rec(L, B, nb, precision):
     return jnp.concatenate([X1, X2], axis=0)
 
 
+def cho_solve_blocked(L: jnp.ndarray, b: jnp.ndarray, nb: int = 2048,
+                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """(L Lᵀ)⁻¹ b via two recursive blocked triangular solves.
+
+    The backward (upper) solve reuses the lower-triangular recursion through
+    the flip identity: with J the reversal permutation, J Lᵀ J is lower
+    triangular, so Lᵀx = z  ⇔  x = J · solve_lower(J Lᵀ J, J z).
+
+    Point of this over `cho_solve` (XLA trisolve): inside a jit that also
+    calls `tri_solve_blocked` on the same factor, XLA CSEs the (nb, nb)
+    diagonal-block inverses between the two, making the alpha-solve nearly
+    free next to the wide variance solve. Defaults to HIGHEST — the solves
+    are GEMV/bandwidth-bound, so the extra precision costs nothing.
+    """
+    n = b.shape[0]
+    pad = (-n) % nb
+    if pad:
+        Lp = jnp.zeros((n + pad, n + pad), L.dtype)
+        Lp = Lp.at[:n, :n].set(L)
+        Lp = Lp.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
+        bp = jnp.pad(b, ((0, pad), (0, 0)))
+        return cho_solve_blocked(Lp, bp, nb, precision)[:n]
+    z = _tri_rec(L, b, nb, precision)
+    return _tri_rec_upper(L.T, z, nb, precision)
+
+
+def _tri_rec_upper(U, B, nb, precision):
+    """Upper-triangular mirror of `_tri_rec` (backward substitution). The
+    leaf inverse is written as transpose-of-the-lower-inverse so XLA can CSE
+    it with the forward pass's leaf inverses of the same factor."""
+    n = U.shape[0]
+    k = n // nb
+    if k == 1:
+        eye = jnp.eye(n, dtype=U.dtype)
+        Uinv = jax.scipy.linalg.solve_triangular(U.T, eye, lower=True).T
+        return jax.lax.dot(Uinv, B, precision=precision)
+    h = (k // 2) * nb
+    X2 = _tri_rec_upper(U[h:, h:], B[h:], nb, precision)
+    B1 = B[:h] - jax.lax.dot(U[:h, h:], X2, precision=precision)
+    X1 = _tri_rec_upper(U[:h, :h], B1, nb, precision)
+    return jnp.concatenate([X1, X2], axis=0)
+
+
 def chol_recursive(K: jnp.ndarray, nb: int = 2048,
                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Lower Cholesky factor via trace-time divide-and-conquer:

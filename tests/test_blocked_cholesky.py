@@ -66,3 +66,13 @@ def test_chol_recursive_matches_dense():
     Lref = jnp.linalg.cholesky(K)
     assert L.shape == (300, 300)
     assert float(jnp.max(jnp.abs(L - Lref))) < 1e-8
+
+
+def test_cho_solve_blocked_matches_cho_solve():
+    from stpy_tpu.linalg import cho_solve, cho_solve_blocked
+    K = _spd(300, key=6)
+    L = jnp.linalg.cholesky(K)
+    b = jax.random.normal(jax.random.PRNGKey(7), (300, 3))
+    x = cho_solve_blocked(L, b, nb=128)
+    xref = cho_solve(L, b)
+    assert float(jnp.max(jnp.abs(x - xref))) < 1e-8
