@@ -1,0 +1,131 @@
+"""Lazy (matrix-free) Gram matvec as a Pallas TPU kernel:
+
+    out_i = Σ_j k(x_i, y_j) · v_j      without ever materializing K.
+
+Per (TM, TN) grid tile: one MXU `dot_general` for the cross products, the
+kernel shape fused on the VPU, then a row-reduction against the v tile —
+the Gram tile lives only in registers/VMEM. Memory is O(n + m) instead of
+O(n·m), so CG / Lanczos inference scales to n far beyond HBM capacity
+(n = 10⁶ needs 8 TB for a dense K; this needs 32 MB). Compute per matvec is
+O(n·m·d) — at n = 65k, d ≤ 128 that is ~1.1 TFLOP ≈ 20 ms/matvec on a v5e.
+
+The output block is revisited across the j (column) grid dimension and
+accumulated in place — the standard Pallas reduction idiom (init on j == 0).
+
+This is new capability, not parity: the reference materializes every Gram
+(stpy/kernels.py:136-159) and is capped by CPU RAM well below n = 10⁵.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stpy_tpu.kernels import functions as F
+from stpy_tpu.ops.pallas_gram import _round_up, _shape_fn, _use_pallas
+
+
+def _gram_matvec_kernel(kappa_ref, x_ref, y_ref, v_ref, o_ref, *, shape_fn,
+                        n_j):
+    j = pl.program_id(1)
+    xb = x_ref[:]                                   # (TM, D)
+    yb = y_ref[:]                                   # (TN, D)
+    prod = jax.lax.dot_general(
+        xb, yb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    nx = jnp.sum(xb * xb, axis=1, keepdims=True)
+    ny = jnp.sum(yb * yb, axis=1, keepdims=True).T
+    sq = jnp.maximum(nx + ny - 2.0 * prod, 0.0)
+    tile = kappa_ref[0, 0] * shape_fn(sq)           # (TM, TN), registers only
+    part = jnp.sum(tile * v_ref[:], axis=1, keepdims=True)  # (TM, 1)
+
+    @pl.when(j == 0)
+    def _init():
+        o_ref[:] = part
+
+    @pl.when(j > 0)
+    def _acc():
+        o_ref[:] = o_ref[:] + part
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("family", "nu", "block_m", "block_n", "interpret"),
+)
+def _gram_matvec_pallas(xs, ys, v, kappa, *, family, nu, block_m, block_n,
+                        interpret):
+    n, d = xs.shape
+    m = ys.shape[0]
+    dp = _round_up(max(d, 1), 128)
+    np_, mp = _round_up(n, block_m), _round_up(m, block_n)
+    xs = jnp.pad(xs, ((0, np_ - n), (0, dp - d))).astype(jnp.float32)
+    ys = jnp.pad(ys, ((0, mp - m), (0, dp - d))).astype(jnp.float32)
+    vp = jnp.pad(v.reshape(-1), (0, mp - m)).astype(jnp.float32)
+    # padded y rows give garbage kernel values; zero v entries kill them
+    vp2 = vp.reshape(1, mp)
+
+    kern = functools.partial(
+        _gram_matvec_kernel, shape_fn=_shape_fn(family, nu),
+        n_j=mp // block_n,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(np_ // block_m, mp // block_n),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, dp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, dp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * mp * dp + 10 * np_ * mp,
+            bytes_accessed=4 * (np_ * dp + mp * dp + mp + np_),
+            transcendentals=np_ * mp,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(kappa, jnp.float32).reshape(1, 1), xs, ys, vp2)
+    return out[:n, 0]
+
+
+def _matvec_jnp(xs, ys, v, kappa, family, nu):
+    sq = F.sq_dist(xs, ys)
+    return (kappa * _shape_fn(family, nu)(sq)) @ v.reshape(-1)
+
+
+def gram_matvec(x, y, v, *, family="se", gamma=1.0, kappa=1.0, nu=1.5,
+                block_m=512, block_n=512):
+    """K(x, y) @ v without materializing K. gamma scalar or per-dim."""
+    xs, ys = x / gamma, y / gamma
+    if _use_pallas(x.shape[0], y.shape[0]):
+        return _gram_matvec_pallas(
+            xs, ys, v, kappa, family=family, nu=float(nu),
+            block_m=block_m, block_n=block_n, interpret=False,
+        ).astype(x.dtype)
+    return _matvec_jnp(xs, ys, v, kappa, family, nu)
+
+
+def make_lazy_matvec(x, *, family="se", gamma=1.0, kappa=1.0, nu=1.5,
+                     noise=0.0):
+    """matvec(v) = (K(x, x) + noise²·I) v — drop into `cg_solve`/`slq` for
+    K-free inference at n beyond HBM capacity."""
+    def matvec(v):
+        out = gram_matvec(x, x, v, family=family, gamma=gamma, kappa=kappa,
+                          nu=nu)
+        return out + (noise * noise) * v.reshape(-1)
+
+    return matvec

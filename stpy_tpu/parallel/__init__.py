@@ -13,3 +13,4 @@ from stpy_tpu.parallel.blocked import (
     chol_sharded,
     DistributedExactGP,
 )
+from stpy_tpu.ops.pallas_gram_matvec import gram_matvec, make_lazy_matvec

@@ -23,3 +23,7 @@ from stpy_tpu.probability.noise_models import (
     PoissonNoise,
     LogWeibullNoise,
 )
+
+# reference-compat alias: the reference spells it "Weilbull"
+# (stpy/probability/weibul_likelihood.py:9)
+WeilbullLikelihoodCanonical = WeibullLikelihoodCanonical

@@ -382,3 +382,35 @@ def test_laplace_kernelfunction_uses_fast_path():
     G = k.eval_params(k.params_dict, x, x)
     ref = 1.1 * jnp.exp(-F.manhattan_dist(x, x) / 0.36)
     assert np.allclose(G, ref, atol=1e-10)
+
+
+def test_gram_matvec_interpret_matches_dense():
+    from stpy_tpu.ops.pallas_gram_matvec import (
+        _gram_matvec_pallas, _matvec_jnp,
+    )
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-1, 1, (70, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, 1, (45, 3)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal(45), jnp.float32)
+    for family, nu in [("se", 1.0), ("matern", 1.5)]:
+        out = _gram_matvec_pallas(
+            x, y, v, 1.2, family=family, nu=nu, block_m=8, block_n=128,
+            interpret=True,
+        )
+        ref = _matvec_jnp(x, y, v, 1.2, family, nu)
+        assert np.allclose(out, ref, atol=1e-4), family
+
+
+def test_lazy_matvec_cg_matches_dense_gp_solve():
+    from stpy_tpu.ops.pallas_gram_matvec import make_lazy_matvec
+    from stpy_tpu.parallel.iterative import cg_solve
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.uniform(-1, 1, (300, 2)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x)[:, :1])).reshape(-1)
+    gamma, s = 0.5, 0.3  # larger noise keeps CG iterations modest
+    mv = make_lazy_matvec(x, family="se", gamma=gamma, noise=s)
+    alpha, it, res = cg_solve(mv, y, tol=1e-10, maxiter=400)
+    K = jnp.exp(-F.sq_dist(x / gamma, x / gamma) / 2) + s * s * jnp.eye(300)
+    ref = jnp.linalg.solve(K, y)
+    assert float(jnp.max(jnp.abs(alpha - ref))) < 1e-6
