@@ -72,7 +72,7 @@ class IterativeGP:
     chip."""
 
     def __init__(self, kernel_object, s=0.1, mesh=None, axis="tp",
-                 precond_block=2048, tol=1e-6, maxiter=500):
+                 precond_block=2048, tol=1e-6, maxiter=500, lazy=False):
         self.kernel_object = kernel_object
         self.s = s
         self.mesh = mesh
@@ -80,7 +80,34 @@ class IterativeGP:
         self.precond_block = precond_block
         self.tol = tol
         self.maxiter = maxiter
+        self.lazy = lazy
         self.fitted = False
+
+    def _lazy_matvec_or_none(self, x):
+        """Matrix-free (K + σ²I)v via the fused Pallas Gram·v kernel
+        (ops/pallas_gram_matvec.py) — O(n) memory, n beyond HBM. Available
+        for single-atom SE/ARD/Matérn(ν ∈ {½,3/2,5/2}) kernels."""
+        from stpy_tpu.ops.pallas_gram_matvec import make_lazy_matvec
+
+        ko = self.kernel_object
+        atoms = getattr(ko, "_atoms", None)
+        if not atoms or len(atoms) != 1:
+            return None
+        atom = atoms[0]
+        p = ko.params_dict["0"]
+        kappa = p.get("kappa", 1.0)
+        nu = atom.static.get("nu", 1.5)
+        if atom.name == "squared_exponential":
+            fam, gamma, nu = "se", p["gamma"], 1.0
+        elif atom.name == "ard":
+            fam, gamma, nu = "se", p["ard_gamma"], 1.0
+        elif atom.name == "matern" and nu in (0.5, 1.5, 2.5):
+            fam, gamma = "matern", p["gamma"]
+        else:
+            return None
+        return make_lazy_matvec(
+            x, family=fam, gamma=gamma, kappa=kappa, nu=nu, noise=self.s
+        )
 
     def _matvec_factory(self, x):
         """Row-sharded (K + σ²I) v matvec. With a mesh: shard_map over row
@@ -88,6 +115,14 @@ class IterativeGP:
         ko = self.kernel_object
         n = x.shape[0]
         s2 = self.s**2
+
+        if self.lazy and self.mesh is None:
+            mv = self._lazy_matvec_or_none(x)
+            if mv is None:
+                raise NotImplementedError(
+                    "lazy=True needs a single-atom SE/ARD/Matérn kernel"
+                )
+            return mv, None
 
         if self.mesh is None:
             K = ko.gram(x) + s2 * jnp.eye(n, dtype=x.dtype)

@@ -223,3 +223,24 @@ def test_slq_with_sharded_matvec(mesh8):
     K = np.asarray(k.gram(x)) + 0.01 * np.eye(n)
     ld_true = float(np.linalg.slogdet(K)[1])
     assert abs(float(est) - ld_true) < 0.15 * max(abs(ld_true), 1.0)
+
+
+def test_iterative_gp_lazy_matches_dense():
+    from stpy_tpu.kernels import KernelFunction
+    from stpy_tpu.models.exact_gp import GaussianProcess
+    from stpy_tpu.parallel.iterative import IterativeGP
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.uniform(-1, 1, (300, 2)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x)[:, :1]))
+    xt = jnp.asarray(rng.uniform(-1, 1, (50, 2)))
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=2)
+
+    ref = GaussianProcess(kernel=k, s=0.2)
+    ref.fit_gp(x, y)
+    mu_ref, _ = ref.mean_std(xt)
+
+    it = IterativeGP(k, s=0.2, lazy=True, tol=1e-10, maxiter=600)
+    it.fit_gp(x, y)
+    mu = it.mean(xt)
+    assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-6
