@@ -156,6 +156,9 @@ class DistributedExactGP:
             a = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
             return L, a
 
+        # predict closure captures n/shardings — invalidate on refit
+        if hasattr(self, "_predict"):
+            del self._predict
         self._fit = jax.jit(build_and_factor)
         self.L, alpha = self._fit(x_rep, y_rep)
         self.alpha = alpha[:n]

@@ -76,3 +76,21 @@ def test_cho_solve_blocked_matches_cho_solve():
     x = cho_solve_blocked(L, b, nb=128)
     xref = cho_solve(L, b)
     assert float(jnp.max(jnp.abs(x - xref))) < 1e-8
+
+
+def test_distributed_gp_refit_different_n():
+    key = jax.random.PRNGKey(9)
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=1)
+    mesh = Mesh(np.array(jax.devices()), ("tp",))
+    gp = DistributedExactGP(k, s=0.1, mesh=mesh, nb=32)
+    for n in (96, 160):  # refit with a different n must not reuse stale jit
+        x = jax.random.uniform(jax.random.PRNGKey(n), (n, 1), minval=-1,
+                               maxval=1)
+        y = jnp.sin(3 * x)
+        gp.fit_gp(x, y)
+        mu, std = gp.mean_std(x[:10])
+        ref = GaussianProcess(kernel=k, s=0.1)
+        ref.fit_gp(x, y)
+        mu_ref, std_ref = ref.mean_std(x[:10])
+        assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-6
+        assert float(jnp.max(jnp.abs(std - std_ref))) < 1e-6
