@@ -30,6 +30,33 @@ from stpy_tpu.kernels import functions as F
 from stpy_tpu.ops.pallas_gram import _round_up, _shape_fn, _use_pallas
 
 
+def _dshape_fn(family: str, nu: float):
+    """sq ↦ k'(sq)·sq  (derivative of the kernel shape w.r.t. the squared
+    scaled distance, times sq). With inputs scaled as x̃ = x/γ, the
+    lengthscale derivative is  ∂K/∂γ = (−2/γ)·k'(sq)·sq, so a matvec with
+    this shape function gives (∂K/∂γ)v up to the (−2/γ) scalar — the
+    building block for matrix-free evidence gradients."""
+    _e = 1e-30
+    if family == "se":
+        return lambda sq: -0.5 * sq * jnp.exp(-0.5 * sq)
+    if family == "matern":
+        if nu == 0.5:
+            def f(sq):
+                r = jnp.sqrt(sq + _e)
+                return -0.5 * r * jnp.exp(-r)
+            return f
+        if nu == 1.5:
+            return lambda sq: -1.5 * sq * jnp.exp(
+                -math.sqrt(3.0) * jnp.sqrt(sq + _e)
+            )
+        if nu == 2.5:
+            def f(sq):
+                k = math.sqrt(5.0) * jnp.sqrt(sq + _e)
+                return -(5.0 / 6.0) * (1.0 + k) * jnp.exp(-k) * sq
+            return f
+    raise NotImplementedError((family, nu))
+
+
 def _gram_matvec_kernel(kappa_ref, x_ref, y_ref, v_ref, o_ref, *, shape_fn,
                         n_j):
     j = pl.program_id(1)
@@ -58,10 +85,11 @@ def _gram_matvec_kernel(kappa_ref, x_ref, y_ref, v_ref, o_ref, *, shape_fn,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("family", "nu", "block_m", "block_n", "interpret"),
+    static_argnames=("family", "nu", "block_m", "block_n", "interpret",
+                     "deriv"),
 )
 def _gram_matvec_pallas(xs, ys, v, kappa, *, family, nu, block_m, block_n,
-                        interpret):
+                        interpret, deriv=False):
     n, d = xs.shape
     m = ys.shape[0]
     dp = _round_up(max(d, 1), 128)
@@ -72,9 +100,9 @@ def _gram_matvec_pallas(xs, ys, v, kappa, *, family, nu, block_m, block_n,
     # padded y rows give garbage kernel values; zero v entries kill them
     vp2 = vp.reshape(1, mp)
 
+    sf = _dshape_fn(family, nu) if deriv else _shape_fn(family, nu)
     kern = functools.partial(
-        _gram_matvec_kernel, shape_fn=_shape_fn(family, nu),
-        n_j=mp // block_n,
+        _gram_matvec_kernel, shape_fn=sf, n_j=mp // block_n,
     )
     out = pl.pallas_call(
         kern,
@@ -102,21 +130,23 @@ def _gram_matvec_pallas(xs, ys, v, kappa, *, family, nu, block_m, block_n,
     return out[:n, 0]
 
 
-def _matvec_jnp(xs, ys, v, kappa, family, nu):
+def _matvec_jnp(xs, ys, v, kappa, family, nu, deriv=False):
     sq = F.sq_dist(xs, ys)
-    return (kappa * _shape_fn(family, nu)(sq)) @ v.reshape(-1)
+    sf = _dshape_fn(family, nu) if deriv else _shape_fn(family, nu)
+    return (kappa * sf(sq)) @ v.reshape(-1)
 
 
 def gram_matvec(x, y, v, *, family="se", gamma=1.0, kappa=1.0, nu=1.5,
-                block_m=512, block_n=512):
-    """K(x, y) @ v without materializing K. gamma scalar or per-dim."""
+                block_m=512, block_n=512, deriv=False):
+    """K(x, y) @ v without materializing K; gamma scalar or per-dim.
+    `deriv=True` applies k'(sq)·sq instead of k(sq) — see `_dshape_fn`."""
     xs, ys = x / gamma, y / gamma
     if _use_pallas(x.shape[0], y.shape[0]):
         return _gram_matvec_pallas(
             xs, ys, v, kappa, family=family, nu=float(nu),
-            block_m=block_m, block_n=block_n, interpret=False,
+            block_m=block_m, block_n=block_n, interpret=False, deriv=deriv,
         ).astype(x.dtype)
-    return _matvec_jnp(xs, ys, v, kappa, family, nu)
+    return _matvec_jnp(xs, ys, v, kappa, family, nu, deriv=deriv)
 
 
 def make_lazy_matvec(x, *, family="se", gamma=1.0, kappa=1.0, nu=1.5,

@@ -14,3 +14,4 @@ from stpy_tpu.parallel.blocked import (
     DistributedExactGP,
 )
 from stpy_tpu.ops.pallas_gram_matvec import gram_matvec, make_lazy_matvec
+from stpy_tpu.parallel.bbmm import evidence_value_and_grad_lazy

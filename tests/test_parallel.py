@@ -244,3 +244,42 @@ def test_iterative_gp_lazy_matches_dense():
     it.fit_gp(x, y)
     mu = it.mean(xt)
     assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-6
+
+
+def test_lazy_evidence_grads_match_dense_autodiff():
+    from stpy_tpu.kernels import functions as F
+    from stpy_tpu.parallel.bbmm import evidence_value_and_grad_lazy
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.uniform(-1, 1, (200, 2)))
+    yv = jnp.asarray(
+        np.sin(3 * np.asarray(x)[:, :1]).ravel()
+        + 0.1 * rng.standard_normal(200)
+    )
+
+    def dense_nll(gamma, kappa, noise):
+        K = kappa * jnp.exp(-F.sq_dist(x / gamma, x / gamma) / 2)
+        A = K + noise**2 * jnp.eye(200)
+        L = jnp.linalg.cholesky(A)
+        a = jax.scipy.linalg.cho_solve((L, True), yv)
+        return (0.5 * yv @ a + jnp.sum(jnp.log(jnp.diagonal(L)))
+                + 100 * jnp.log(2 * jnp.pi))
+
+    g0, k0, s0 = 0.6, 1.3, 0.4
+    val_ref = float(dense_nll(g0, k0, s0))
+    gr = jax.grad(dense_nll, argnums=(0, 1, 2))(g0, k0, s0)
+
+    nll, grads = evidence_value_and_grad_lazy(
+        x, yv, g0, k0, s0, probes=600, cg_tol=1e-10, cg_maxiter=600,
+        lanczos_iters=60,
+    )
+    # quadratic parts are exact (CG to 1e-10); traces are stochastic —
+    # with 600 probes expect ~1-2% relative error on the gradient
+    assert abs(float(nll) - val_ref) / abs(val_ref) < 0.02
+    for g_est, g_ref, name in zip(
+        (grads["gamma"], grads["kappa"], grads["noise"]), gr,
+        ("gamma", "kappa", "noise"),
+    ):
+        denom = max(abs(float(g_ref)), 1.0)
+        assert abs(float(g_est) - float(g_ref)) / denom < 0.05, (
+            name, float(g_est), float(g_ref))
