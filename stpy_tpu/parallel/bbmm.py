@@ -36,6 +36,7 @@ from stpy_tpu.parallel.slq import slq_logdet
 def evidence_value_and_grad_lazy(
     x, y, gamma, kappa=1.0, noise=0.1, *, family="se", nu=1.5,
     probes=16, lanczos_iters=30, cg_tol=1e-6, cg_maxiter=500, key=None,
+    compute_value=True,
 ):
     """Negative log evidence and its gradient w.r.t. (gamma, kappa, noise),
     using only lazy matvecs — O(n) memory.
@@ -65,10 +66,16 @@ def evidence_value_and_grad_lazy(
 
     alpha, _, _ = cg_solve(Av, yv, tol=cg_tol, maxiter=cg_maxiter)
 
-    # value: ½ yᵀα + ½ logdet (SLQ) + (n/2) log 2π
-    ld, _ = slq_logdet(Av, n, probes=probes, lanczos_iters=lanczos_iters,
-                       key=key, dtype=yv.dtype)
-    nll = 0.5 * yv @ alpha + 0.5 * ld + 0.5 * n * math.log(2.0 * math.pi)
+    # value: ½ yᵀα + ½ logdet (SLQ) + (n/2) log 2π. The logdet is only
+    # needed for reporting — gradient steps can skip it (compute_value=False)
+    if compute_value:
+        ld, _ = slq_logdet(Av, n, probes=probes,
+                           lanczos_iters=lanczos_iters, key=key,
+                           dtype=yv.dtype)
+        nll = (0.5 * yv @ alpha + 0.5 * ld
+               + 0.5 * n * math.log(2.0 * math.pi))
+    else:
+        nll = jnp.nan
 
     # quadratic terms: −½ αᵀ (∂A) α
     q_gamma = -0.5 * alpha @ dA_gamma_v(alpha)
