@@ -10,7 +10,6 @@ setting for GLM/quadratic likelihoods.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from stpy_tpu.config import as_array, default_dtype

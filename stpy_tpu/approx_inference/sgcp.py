@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from stpy_tpu.config import as_array, default_dtype
-from stpy_tpu.linalg import chol_jittered, cho_solve, safe_cholesky, tri_solve
+from stpy_tpu.linalg import chol_jittered, tri_solve
 
 
 def _gauss_hermite(n=20):

@@ -263,7 +263,6 @@ class OptimalPositiveBasis(PositiveNystromEmbeddingBump):
 
     def save_embedding(self, path):
         from stpy_tpu.utils.checkpoint import save_pytree
-        import numpy as _np
 
         xg = self.GP.x
         save_pytree(path, {"grid": xg, "basis": self.GP.embed(xg)})

@@ -30,7 +30,6 @@ from stpy_tpu.linalg import (
     safe_cholesky,
     tri_solve,
     tri_solve_blocked,
-    tri_solve_chunked,
 )
 from stpy_tpu.models.estimator import Estimator
 from stpy_tpu.opt.lbfgs import minimize_lbfgs

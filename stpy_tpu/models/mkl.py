@@ -17,7 +17,6 @@ per-branch cvxpy enumeration; simplex regularizers add their smooth eval.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from stpy_tpu.config import as_array, default_dtype
@@ -27,7 +26,6 @@ from stpy_tpu.models.feature_gp import KernelizedFeatures
 from stpy_tpu.embeddings.combinators import ConcatEmbedding
 from stpy_tpu.opt.frank_wolfe import minimize_on_simplex
 from stpy_tpu.opt.prox import prox_group_l2
-from stpy_tpu.opt.prox import fista_backtracking
 
 
 class MultipleKernelLearner(Estimator):

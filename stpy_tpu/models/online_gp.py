@@ -18,7 +18,6 @@ so posteriors match `GaussianProcess` to roundoff.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -9,7 +9,6 @@ the confidence band is the closed-form quadratic form against V^{-1}.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from stpy_tpu.config import as_array

@@ -22,7 +22,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from stpy_tpu.config import as_array
 from stpy_tpu.linalg import chol_jittered, cho_solve

@@ -12,7 +12,6 @@ recurrence is a lax.scan, probes vmap, matvecs shard).
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ of MOSEK QCQPs.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -11,7 +11,6 @@ against the vec-space covariance inverse.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from stpy_tpu.config import default_dtype

@@ -57,7 +57,6 @@ from stpy_tpu.inference.langevin import (
 from stpy_tpu.opt.ellipsoid import maximize_on_elliptical_slice
 from stpy_tpu.opt.lbfgs import minimize_lbfgs
 from stpy_tpu.opt.prox import fista_backtracking
-from stpy_tpu.opt.scalar import bisection
 from stpy_tpu.point_processes.rate_estimator import RateEstimator
 
 

@@ -17,7 +17,7 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-from stpy_tpu.opt.prox import prox_l1, project_l2_ball
+from stpy_tpu.opt.prox import prox_l1
 
 
 class Constraints(ABC):

@@ -7,10 +7,9 @@ greedy selection runs as incremental Cholesky growth on device.
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
-from stpy_tpu.linalg import safe_cholesky, cho_solve
+from stpy_tpu.linalg import safe_cholesky
 
 
 def epsilon_net(borel_set, k):
