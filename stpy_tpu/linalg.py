@@ -102,10 +102,10 @@ def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 2048,
     log₂(n/nb)), so the compiled program is a static DAG of GEMMs.
 
     `precision` defaults to HIGH (bf16x3): the substitution GEMMs feed
-    predictive-variance sums where this costs < 5e-5 absolute (measured vs
-    f64 at n=4096) — well below the f32 pipeline's 4e-4 mean-error floor —
-    while saving ~35%% wall time vs the library-wide HIGHEST default. Pass
-    jax.lax.Precision.HIGHEST for bit-critical uses.
+    predictive-variance sums where this costs ≤0.8%% max relative variance
+    error at n=16k (median 0.1%%; HIGHEST: max 0.05%%) while saving ~35%%
+    wall time — measured vs a float64 host reference, docs/DESIGN.md §5.
+    Pass jax.lax.Precision.HIGHEST for bit-critical uses.
     """
     if precision is None:
         precision = jax.lax.Precision.HIGH

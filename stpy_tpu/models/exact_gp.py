@@ -42,8 +42,13 @@ class GaussianProcess(Estimator, RandomProcess):
         kernel_name="squared_exponential", diameter=1.0, groups=None,
         bounds=None, nu=1.5, kernel=None, d=1, power=2, lam=1.0,
         loss="squared", huber_delta=1.35, hyper="classical", B=1.0,
-        svr_eps=0.1,
+        svr_eps=0.1, var_precision=None,
     ):
+        # precision of the predictive-variance triangular-solve GEMMs:
+        # None -> tri_solve_blocked's HIGH default (bf16x3; measured at
+        # n=16k: <=0.8% max relative variance error vs f64, ~35% faster);
+        # pass jax.lax.Precision.HIGHEST for <=0.05% (docs/DESIGN.md §5).
+        self._var_precision = var_precision
         self.s = s
         self.d = d
         self.x = None
@@ -104,7 +109,9 @@ class GaussianProcess(Estimator, RandomProcess):
             K_star = kernel.eval_params(params_dict, xtest, x)  # (t, n)
             mu = K_star @ alpha
             # blocked GEMM trisolve: ~5x XLA's native trisolve at wide RHS
-            V = tri_solve_blocked(L, K_star.T)                  # (n, t)
+            V = tri_solve_blocked(
+                L, K_star.T, precision=self._var_precision
+            )                                                   # (n, t)
             kss = kernel.diag(xtest, params_dict)
             var = jnp.maximum(kss - jnp.sum(V * V, axis=0), 1e-30)
             return mu, jnp.sqrt(var)[:, None]
