@@ -81,17 +81,10 @@ def tri_solve(L: jnp.ndarray, b: jnp.ndarray, lower: bool = True) -> jnp.ndarray
 
 def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 2048,
                       precision=None) -> jnp.ndarray:
-    """Lower-triangular solve L X = B with a WIDE RHS, reformulated as block
-    forward substitution whose work is almost entirely dense GEMMs.
-
-    XLA's native TPU triangular solve runs far below the matmul roofline for
-    large RHS. Here: invert the k = n/nb diagonal blocks once (vmapped small
-    trisolves), then per block-row i do
-        X_i = Linv_ii (B_i - L[i·nb:(i+1)·nb, :] X)
-    where the row-strip GEMM uses the full X buffer (unsolved rows are still
-    zero, and L's strict upper part is zero, so the partial sums are exact).
-    Total work 2·n²·t GEMM FLOPs on the MXU — ~2x the nominal trisolve FLOPs
-    but at full matmul throughput, several times faster in wall time.
+    """Lower-triangular solve L X = B with a WIDE RHS, reformulated so the
+    work is almost entirely dense GEMMs (XLA's native TPU triangular solve
+    runs ~5x below the matmul roofline at large RHS and OOMs at compile
+    time for a 16k x 16k RHS).
 
     Schedule: DIVIDE-AND-CONQUER rather than a block loop. With static-shape
     halving  X_top = L11⁻¹ B_top;  B_bot −= L21 X_top;  X_bot = L22⁻¹ B_bot,
