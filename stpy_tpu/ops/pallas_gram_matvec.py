@@ -57,6 +57,30 @@ def _dshape_fn(family: str, nu: float):
     raise NotImplementedError((family, nu))
 
 
+def _pshape_fn(family: str, nu: float):
+    """sq ↦ k'(sq)  (plain derivative of the kernel shape w.r.t. the squared
+    scaled distance). Used by the custom VJP's x/y cotangents."""
+    _e = 1e-30
+    if family == "se":
+        return lambda sq: -0.5 * jnp.exp(-0.5 * sq)
+    if family == "matern":
+        if nu == 0.5:
+            def f(sq):
+                r = jnp.sqrt(sq + _e)
+                return -0.5 * jnp.exp(-r) / jnp.maximum(r, 1e-6)
+            return f
+        if nu == 1.5:
+            return lambda sq: -1.5 * jnp.exp(
+                -math.sqrt(3.0) * jnp.sqrt(sq + _e)
+            )
+        if nu == 2.5:
+            def f(sq):
+                k = math.sqrt(5.0) * jnp.sqrt(sq + _e)
+                return -(5.0 / 6.0) * (1.0 + k) * jnp.exp(-k)
+            return f
+    raise NotImplementedError((family, nu))
+
+
 def _gram_matvec_kernel(kappa_ref, x_ref, y_ref, v_ref, o_ref, *, shape_fn,
                         n_j):
     j = pl.program_id(1)
@@ -83,13 +107,16 @@ def _gram_matvec_kernel(kappa_ref, x_ref, y_ref, v_ref, o_ref, *, shape_fn,
         o_ref[:] = o_ref[:] + part
 
 
+_SHAPES = {"k": _shape_fn, "dk_sq": _dshape_fn, "dk": _pshape_fn}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("family", "nu", "block_m", "block_n", "interpret",
-                     "deriv"),
+                     "shape"),
 )
 def _gram_matvec_pallas(xs, ys, v, kappa, *, family, nu, block_m, block_n,
-                        interpret, deriv=False):
+                        interpret, shape="k"):
     n, d = xs.shape
     m = ys.shape[0]
     dp = _round_up(max(d, 1), 128)
@@ -100,7 +127,7 @@ def _gram_matvec_pallas(xs, ys, v, kappa, *, family, nu, block_m, block_n,
     # padded y rows give garbage kernel values; zero v entries kill them
     vp2 = vp.reshape(1, mp)
 
-    sf = _dshape_fn(family, nu) if deriv else _shape_fn(family, nu)
+    sf = _SHAPES[shape](family, nu)
     kern = functools.partial(
         _gram_matvec_kernel, shape_fn=sf, n_j=mp // block_n,
     )
@@ -130,23 +157,96 @@ def _gram_matvec_pallas(xs, ys, v, kappa, *, family, nu, block_m, block_n,
     return out[:n, 0]
 
 
-def _matvec_jnp(xs, ys, v, kappa, family, nu, deriv=False):
+def _matvec_jnp(xs, ys, v, kappa, family, nu, shape="k"):
     sq = F.sq_dist(xs, ys)
-    sf = _dshape_fn(family, nu) if deriv else _shape_fn(family, nu)
-    return (kappa * sf(sq)) @ v.reshape(-1)
+    return (kappa * _SHAPES[shape](family, nu)(sq)) @ v.reshape(-1)
+
+
+def _mv_scaled(xs, ys, v, kappa, family, nu, shape="k"):
+    """Matvec on PRE-SCALED inputs (x̃ = x/γ) with selectable shape fn."""
+    if _use_pallas(xs.shape[0], ys.shape[0]):
+        return _gram_matvec_pallas(
+            xs, ys, v, kappa, family=family, nu=float(nu),
+            block_m=512, block_n=512, interpret=False, shape=shape,
+        ).astype(xs.dtype)
+    return _matvec_jnp(xs, ys, v, kappa, family, nu, shape=shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _mv_ad(x, y, v, gamma, kappa, family, nu):
+    """Differentiable K(x, y) v. Backward = a handful of extra fused
+    matvecs (never a dense K):
+      v̄ = Kᵀḡ;  κ̄ = ḡᵀ(Kv)/κ;
+      γ̄ via the k'(sq)·sq matvec (per-dim for ARD);
+      x̄/ȳ via k'(sq) matvecs against coordinate-weighted vectors
+      (2(d+1) passes)."""
+    xs, ys = x / gamma, y / gamma
+    return _mv_scaled(xs, ys, v, kappa, family, nu)
+
+
+def _mv_ad_fwd(x, y, v, gamma, kappa, family, nu):
+    out = _mv_ad(x, y, v, gamma, kappa, family, nu)
+    return out, (x, y, v, gamma, kappa, out)
+
+
+def _mv_ad_bwd(family, nu, res, gbar):
+    x, y, v, gamma, kappa, out = res
+    xs, ys = x / gamma, y / gamma
+    v = v.reshape(-1)
+    d = x.shape[1]
+
+    def W(a, b, w, shape):  # κ·shape(sq(a,b)) @ w
+        return _mv_scaled(a, b, w, kappa, family, nu, shape=shape)
+
+    v_bar = W(ys, xs, gbar, "k")
+    kappa_bar = (gbar @ out) / kappa
+
+    # γ̄ — scalar: (−2/γ)·ḡᵀ[(κ k'·sq) v]; ARD: per-dim decomposition of sq
+    if jnp.ndim(gamma) == 0:
+        gamma_bar = (-2.0 / gamma) * (gbar @ W(xs, ys, v, "dk_sq"))
+    else:
+        Wv = W(xs, ys, v, "dk")
+        parts = []
+        for c in range(d):
+            t1 = gbar @ (xs[:, c] ** 2 * Wv)
+            t2 = gbar @ (xs[:, c] * W(xs, ys, v * ys[:, c], "dk"))
+            t3 = gbar @ W(xs, ys, v * ys[:, c] ** 2, "dk")
+            parts.append((-2.0 / gamma[c]) * (t1 - 2.0 * t2 + t3))
+        gamma_bar = jnp.stack(parts)
+
+    # x̄/ȳ: ∂sq/∂x̃_ic = 2(x̃_ic − ỹ_jc); chain through the 1/γ scaling
+    Wv = W(xs, ys, v, "dk")
+    Wg = W(ys, xs, gbar, "dk")
+    x_cols, y_cols = [], []
+    for c in range(d):
+        x_cols.append(
+            2.0 * gbar * (xs[:, c] * Wv - W(xs, ys, v * ys[:, c], "dk"))
+        )
+        y_cols.append(
+            2.0 * v * (ys[:, c] * Wg - W(ys, xs, gbar * xs[:, c], "dk"))
+        )
+    x_bar = jnp.stack(x_cols, axis=1) / gamma
+    y_bar = jnp.stack(y_cols, axis=1) / gamma
+    return x_bar, y_bar, v_bar, gamma_bar, kappa_bar
+
+
+_mv_ad.defvjp(_mv_ad_fwd, _mv_ad_bwd)
 
 
 def gram_matvec(x, y, v, *, family="se", gamma=1.0, kappa=1.0, nu=1.5,
                 block_m=512, block_n=512, deriv=False):
-    """K(x, y) @ v without materializing K; gamma scalar or per-dim.
-    `deriv=True` applies k'(sq)·sq instead of k(sq) — see `_dshape_fn`."""
-    xs, ys = x / gamma, y / gamma
-    if _use_pallas(x.shape[0], y.shape[0]):
-        return _gram_matvec_pallas(
-            xs, ys, v, kappa, family=family, nu=float(nu),
-            block_m=block_m, block_n=block_n, interpret=False, deriv=deriv,
-        ).astype(x.dtype)
-    return _matvec_jnp(xs, ys, v, kappa, family, nu, deriv=deriv)
+    """K(x, y) @ v without materializing K; gamma scalar or per-dim (ARD).
+
+    Differentiable w.r.t. x, y, v, gamma, kappa — the backward pass is a
+    handful of extra fused matvecs, never a dense K. `deriv=True` applies
+    k'(sq)·sq instead of k(sq) (see `_dshape_fn`; primal-only)."""
+    if deriv:
+        return _mv_scaled(x / gamma, y / gamma, v, kappa, family, nu,
+                          shape="dk_sq")
+    gamma = jnp.asarray(gamma, x.dtype)
+    kappa = jnp.asarray(kappa, x.dtype)
+    return _mv_ad(x, y, jnp.asarray(v).reshape(-1), gamma, kappa, family,
+                  float(nu))
 
 
 def make_lazy_matvec(x, *, family="se", gamma=1.0, kappa=1.0, nu=1.5,

@@ -414,3 +414,42 @@ def test_lazy_matvec_cg_matches_dense_gp_solve():
     K = jnp.exp(-F.sq_dist(x / gamma, x / gamma) / 2) + s * s * jnp.eye(300)
     ref = jnp.linalg.solve(K, y)
     assert float(jnp.max(jnp.abs(alpha - ref))) < 1e-6
+
+
+def test_gram_matvec_custom_vjp_all_args():
+    import math
+    from stpy_tpu.ops.pallas_gram_matvec import gram_matvec
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.uniform(-1, 1, (20, 3)))
+    y = jnp.asarray(rng.uniform(-1, 1, (15, 3)))
+    v = jnp.asarray(rng.standard_normal(15))
+
+    for fam, nu in [("se", 1.0), ("matern", 1.5), ("matern", 0.5)]:
+        def dense(x, y, v, g, k):
+            sq = F.sq_dist(x / g, y / g)
+            r = jnp.sqrt(sq + 1e-30)
+            if fam == "se":
+                K = k * jnp.exp(-sq / 2)
+            elif nu == 0.5:
+                K = k * jnp.exp(-r)
+            else:
+                K = k * (1 + math.sqrt(3) * r) * jnp.exp(-math.sqrt(3) * r)
+            return K @ v
+
+        loss_l = lambda *a: jnp.sum(
+            gram_matvec(a[0], a[1], a[2], family=fam, gamma=a[3],
+                        kappa=a[4], nu=nu) ** 2)
+        loss_d = lambda *a: jnp.sum(dense(*a) ** 2)
+        gl = jax.grad(loss_l, argnums=(0, 1, 2, 3, 4))(x, y, v, 0.7, 1.3)
+        gd = jax.grad(loss_d, argnums=(0, 1, 2, 3, 4))(x, y, v, 0.7, 1.3)
+        for a, b in zip(gl, gd):
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-8, (fam, nu)
+
+    # ARD per-dim lengthscale gradient
+    g = jnp.asarray([0.5, 0.8, 1.2])
+    ga = jax.grad(lambda g: jnp.sum(
+        gram_matvec(x, y, v, family="se", gamma=g, kappa=1.1) ** 2))(g)
+    gb = jax.grad(lambda g: jnp.sum(
+        (1.1 * jnp.exp(-F.sq_dist(x / g, y / g) / 2) @ v) ** 2))(g)
+    assert float(jnp.max(jnp.abs(ga - gb))) < 1e-8
