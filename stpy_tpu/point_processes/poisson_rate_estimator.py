@@ -90,6 +90,20 @@ def _map_count_record_lbfgs(phis_raw, obs_raw, mult, invG_half, s, l, u, w0,
     return l_arr + span * jax.nn.sigmoid(res.x)
 
 
+
+@jax.jit
+def _batched_slice_bounds(phis, W, rate, beta, l, LG, u):
+    """Vmapped (map, ucb, lcb) over a stack of action functionals — one
+    compiled program per (n_actions, m) shape instead of one eager
+    ellipsoid-slice solve per action per round."""
+    def one(phi):
+        ub, _ = maximize_on_elliptical_slice(phi, W, rate, beta, l, LG, u)
+        nlb, _ = maximize_on_elliptical_slice(-phi, W, rate, beta, l, LG, u)
+        return phi @ rate, ub, -nlb
+
+    return jax.vmap(one)(phis)
+
+
 class PoissonRateEstimator(RateEstimator):
     def __init__(
         self, process, hierarchy, d=1, m=100, kernel_object=None, B=1.0,
@@ -659,6 +673,37 @@ class PoissonRateEstimator(RateEstimator):
         )
         map_ = phi @ self.rate
         return map_, float(ucb), -float(lcb)
+
+    def ucb_lcb_actions(self, Ss, dt=1.0):
+        """Batched confidence bounds for a LIST of actions: returns
+        (maps, ucbs, lcbs) arrays. One jitted+vmapped ellipsoid-slice solve
+        for the whole action set — the reference (and `ucb(S)`) solves one
+        cone program per action (parity: poisson_rate_estimator.py:
+        1355-1403). Cached across sensing rounds (module-level jit; data
+        passed as arguments)."""
+        if self.data is None or self.rate is None:
+            vols = jnp.asarray([float(S.volume()) for S in Ss])
+            ub = self.B * vols * dt
+            return jnp.zeros_like(ub), ub, jnp.zeros_like(ub)
+        if self.uncertainty == "laplace":
+            W = self.construct_covariance_matrix_laplace()
+        elif self.uncertainty == "least-sq":
+            W = self.construct_covariance_matrix_regression()
+        elif self.uncertainty == "bins":
+            W = self.construct_covariance_matrix_bins()
+        else:
+            raise NotImplementedError(
+                "batched bounds support laplace/least-sq/bins uncertainty"
+            )
+        phis = jnp.stack([self.packing.integral(S) for S in Ss]) * dt
+        G_half = self.cov()
+        l, Lambda, u = self.get_constraints()
+        LG = Lambda @ G_half
+        maps, ucbs, lcbs = _batched_slice_bounds(
+            phis, W, self.rate.reshape(-1),
+            jnp.asarray(self.beta(0), phis.dtype), l, LG, u,
+        )
+        return maps, ucbs, lcbs
 
     def mean_var_laplace_set(self, S, dt, beta=2.0):
         if not self.approx_fit:

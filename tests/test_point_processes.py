@@ -439,3 +439,20 @@ def test_jit_pad_fit_matches_unpadded_and_bounds_recompiles(setup_1d):
         est_p.fit_gp()
     grown = _map_count_record_lbfgs._cache_size() - cache0
     assert grown <= 3, f"MAP runner recompiled {grown}x in 4 rounds"
+
+
+def test_batched_ucb_matches_per_action(setup_1d):
+    process, hierarchy, k = setup_1d
+    est = PoissonRateEstimator(
+        process, hierarchy, d=1, m=16, kernel_object=k, B=5.0, s=0.1,
+        uncertainty="laplace",
+    )
+    data, _ = _sense_all(process, hierarchy, jax.random.PRNGKey(14), dt=20.0)
+    est.load_data(data)
+    est.fit_gp()
+    actions = hierarchy.get_sets_level(2)
+    maps, ucbs, lcbs = est.ucb_lcb_actions(actions, dt=1.0)
+    for i, S in enumerate(actions):
+        assert float(ucbs[i]) == pytest.approx(float(est.ucb(S)), rel=1e-6)
+        assert float(lcbs[i]) == pytest.approx(float(est.lcb(S)), rel=1e-6,
+                                               abs=1e-8)

@@ -47,8 +47,11 @@ for S in actions:
 est.load_data(data)
 est.fit_gp()
 
+vols = np.array([float(S.volume()) for S in actions])
 for rnd in range(6):
-    ucbs = np.array([float(est.ucb(S)) / float(S.volume()) for S in actions])
+    # batched bounds: ONE vmapped ellipsoid-slice solve for all actions
+    _, ucbs, _ = est.ucb_lcb_actions(actions, dt=1.0)
+    ucbs = np.asarray(ucbs) / vols
     pick = int(np.argmax(ucbs))                 # optimism in face of uncertainty
     S = actions[pick]
     key, sub = jax.random.split(key)
