@@ -64,7 +64,10 @@ def config2_ff_vs_exact():
     y = np.sin(3 * x[:, :1]) * np.cos(2 * x[:, 1:])
     xt = rng.uniform(-1, 1, (1024, 2))
 
-    gp = GaussianProcess(gamma=0.5, s=0.05, d=2)
+    # the exact GP is the comparison BASELINE here: use the accurate
+    # variance-solve knob so the measured error is the FF approximation's
+    gp = GaussianProcess(gamma=0.5, s=0.05, d=2,
+                         var_precision=jax.lax.Precision.HIGHEST)
     gp.fit_gp(x, y)
     mu_e, std_e = gp.mean_std(xt)
 
