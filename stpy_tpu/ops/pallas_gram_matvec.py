@@ -7,7 +7,8 @@ kernel shape fused on the VPU, then a row-reduction against the v tile —
 the Gram tile lives only in registers/VMEM. Memory is O(n + m) instead of
 O(n·m), so CG / Lanczos inference scales to n far beyond HBM capacity
 (n = 10⁶ needs 8 TB for a dense K; this needs 32 MB). Compute per matvec is
-O(n·m·d) — at n = 65k, d ≤ 128 that is ~1.1 TFLOP ≈ 20 ms/matvec on a v5e.
+O(n·m·d_padded) — measured ~40 ms at n = 65k on a v5e (the HIGHEST-precision
+MXU pass runs ~27 effective TFLOP/s; inputs are lane-padded to d = 128).
 
 The output block is revisited across the j (column) grid dimension and
 accumulated in place — the standard Pallas reduction idiom (init on j == 0).
@@ -155,6 +156,110 @@ def _gram_matvec_pallas(xs, ys, v, kappa, *, family, nu, block_m, block_n,
         interpret=interpret,
     )(jnp.asarray(kappa, jnp.float32).reshape(1, 1), xs, ys, vp2)
     return out[:n, 0]
+
+
+def _gram_matmat_kernel(kappa_ref, x_ref, y_ref, v_ref, o_ref, *, shape_fn,
+                        n_j):
+    j = pl.program_id(1)
+    xb = x_ref[:]                                   # (TM, D)
+    yb = y_ref[:]                                   # (TN, D)
+    prod = jax.lax.dot_general(
+        xb, yb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    nx = jnp.sum(xb * xb, axis=1, keepdims=True)
+    ny = jnp.sum(yb * yb, axis=1, keepdims=True).T
+    sq = jnp.maximum(nx + ny - 2.0 * prod, 0.0)
+    tile = kappa_ref[0, 0] * shape_fn(sq)           # (TM, TN)
+    # second MXU pass: contract the Gram tile against the RHS block
+    part = jax.lax.dot(tile, v_ref[:],
+                       precision=jax.lax.Precision.HIGHEST)   # (TM, R)
+
+    @pl.when(j == 0)
+    def _init():
+        o_ref[:] = part
+
+    @pl.when(j > 0)
+    def _acc():
+        o_ref[:] = o_ref[:] + part
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("family", "nu", "block_m", "block_n", "interpret",
+                     "shape"),
+)
+def _gram_matmat_pallas(xs, ys, V, kappa, *, family, nu, block_m, block_n,
+                        interpret, shape="k"):
+    """Multi-RHS lazy product: K(xs, ys) @ V for V (m, r) — the tile
+    contraction is a second MXU dot instead of a VPU reduction, so r up to
+    ~128 RHS cost barely more than one."""
+    n, d = xs.shape
+    m, r = ys.shape[0], V.shape[1]
+    dp = _round_up(max(d, 1), 128)
+    rp = _round_up(r, 128)
+    np_, mp = _round_up(n, block_m), _round_up(m, block_n)
+    xs = jnp.pad(xs, ((0, np_ - n), (0, dp - d))).astype(jnp.float32)
+    ys = jnp.pad(ys, ((0, mp - m), (0, dp - d))).astype(jnp.float32)
+    Vp = jnp.pad(V, ((0, mp - m), (0, rp - r))).astype(jnp.float32)
+
+    sf = _SHAPES[shape](family, nu)
+    kern = functools.partial(
+        _gram_matmat_kernel, shape_fn=sf, n_j=mp // block_n,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(np_ // block_m, mp // block_n),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, dp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, dp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, rp), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, rp), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, rp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_ * mp * (dp + rp) + 10 * np_ * mp,
+            bytes_accessed=4 * (np_ * dp + mp * dp + mp * rp + np_ * rp),
+            transcendentals=np_ * mp,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(kappa, jnp.float32).reshape(1, 1), xs, ys, Vp)
+    return out[:n, :r]
+
+
+def gram_matmat(x, y, V, *, family="se", gamma=1.0, kappa=1.0, nu=1.5,
+                block_m=512, block_n=512, shape="k"):
+    """K(x, y) @ V for a BLOCK of RHS columns, without materializing K.
+    Primal-only (use `gram_matvec` column-wise for autodiff); `shape`
+    selects the kernel-shape function like `gram_matvec(deriv=...)`."""
+    xs, ys = x / gamma, y / gamma
+    if _use_pallas(x.shape[0], y.shape[0]):
+        return _gram_matmat_pallas(
+            xs, ys, V, kappa, family=family, nu=float(nu),
+            block_m=block_m, block_n=block_n, interpret=False, shape=shape,
+        ).astype(x.dtype)
+    sq = F.sq_dist(xs, ys)
+    return (kappa * _SHAPES[shape](family, nu)(sq)) @ V
+
+
+def make_lazy_matmat(x, *, family="se", gamma=1.0, kappa=1.0, nu=1.5,
+                     noise=0.0):
+    """matmat(V) = (K(x, x) + noise²·I) V — block-CG / batched-probe
+    companion to `make_lazy_matvec`."""
+    def matmat(V):
+        out = gram_matmat(x, x, V, family=family, gamma=gamma, kappa=kappa,
+                          nu=nu)
+        return out + (noise * noise) * V
+
+    return matmat
 
 
 def _matvec_jnp(xs, ys, v, kappa, family, nu, shape="k"):

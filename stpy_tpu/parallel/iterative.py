@@ -64,6 +64,40 @@ def cg_solve(matvec, b, M_inv=None, tol=1e-8, maxiter=1000):
     return x, it, jnp.linalg.norm(r) / bnorm
 
 
+def cg_solve_block(matmat, B, tol=1e-8, maxiter=1000):
+    """CG on r independent right-hand sides simultaneously — all inner
+    products are per-column, the matvec is one BLOCK product (pairs with
+    `make_lazy_matmat`: r ≤ 128 RHS cost ~one fused Gram pass). Converged
+    columns freeze (zero step) while the rest continue. Returns (X, iters)."""
+    B = jnp.asarray(B)
+    bnorm = jnp.linalg.norm(B, axis=0)
+    x0 = jnp.zeros_like(B)
+    rz0 = jnp.sum(B * B, axis=0)
+
+    def cond(state):
+        x, r, p, rz, it = state
+        return jnp.logical_and(
+            jnp.any(jnp.sqrt(rz) > tol * bnorm), it < maxiter
+        )
+
+    def body(state):
+        x, r, p, rz, it = state
+        Ap = matmat(p)
+        denom = jnp.sum(p * Ap, axis=0)
+        active = jnp.sqrt(rz) > tol * bnorm
+        alpha = jnp.where(active, rz / jnp.where(denom == 0, 1.0, denom), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rz_new = jnp.sum(r * r, axis=0)
+        beta = jnp.where(active, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p = r + beta * p
+        return x, r, p, rz_new, it + 1
+
+    state = (x0, B, B, rz0, jnp.asarray(0))
+    x, r, _, _, it = jax.lax.while_loop(cond, body, state)
+    return x, it
+
+
 class IterativeGP:
     """Large-n exact-GP inference by preconditioned CG over a mesh.
 

@@ -283,3 +283,63 @@ def test_lazy_evidence_grads_match_dense_autodiff():
         denom = max(abs(float(g_ref)), 1.0)
         assert abs(float(g_est) - float(g_ref)) / denom < 0.05, (
             name, float(g_est), float(g_ref))
+
+
+def test_gram_matmat_and_block_cg_match_dense():
+    from stpy_tpu.kernels import functions as F
+    from stpy_tpu.ops.pallas_gram_matvec import (
+        _gram_matmat_pallas, gram_matmat, make_lazy_matmat,
+    )
+    from stpy_tpu.parallel.iterative import cg_solve_block
+
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.uniform(-1, 1, (150, 2)))
+    V = jnp.asarray(rng.standard_normal((150, 5)))
+    g, s = 0.6, 0.3
+    K = jnp.exp(-F.sq_dist(x / g, x / g) / 2)
+
+    out = gram_matmat(x, x, V, family="se", gamma=g)
+    assert float(jnp.max(jnp.abs(out - K @ V))) < 1e-10
+
+    # interpret-mode Pallas path (jnp fallback is used on CPU otherwise)
+    outp = _gram_matmat_pallas(
+        jnp.asarray(x / g, jnp.float32), jnp.asarray(x / g, jnp.float32),
+        jnp.asarray(V, jnp.float32), 1.0, family="se", nu=1.0,
+        block_m=8, block_n=128, interpret=True,
+    )
+    assert np.allclose(outp, np.asarray(K @ V), atol=1e-4)
+
+    A = K + s * s * jnp.eye(150)
+    mm = make_lazy_matmat(x, family="se", gamma=g, noise=s)
+    X, it = cg_solve_block(mm, V, tol=1e-12, maxiter=500)
+    ref = jnp.linalg.solve(A, V)
+    assert float(jnp.max(jnp.abs(X - ref))) < 1e-8
+
+
+def test_bbmm_block_probes_still_match_autodiff():
+    from stpy_tpu.kernels import functions as F
+    from stpy_tpu.parallel.bbmm import evidence_value_and_grad_lazy
+
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.uniform(-1, 1, (150, 2)))
+    yv = jnp.asarray(np.sin(3 * np.asarray(x)[:, :1]).ravel()
+                     + 0.1 * rng.standard_normal(150))
+
+    def dense_nll(gamma, kappa, noise):
+        K = kappa * jnp.exp(-F.sq_dist(x / gamma, x / gamma) / 2)
+        A = K + noise**2 * jnp.eye(150)
+        L = jnp.linalg.cholesky(A)
+        a = jax.scipy.linalg.cho_solve((L, True), yv)
+        return (0.5 * yv @ a + jnp.sum(jnp.log(jnp.diagonal(L)))
+                + 75 * jnp.log(2 * jnp.pi))
+
+    gr = jax.grad(dense_nll, argnums=(0, 1, 2))(0.6, 1.3, 0.4)
+    _, grads = evidence_value_and_grad_lazy(
+        x, yv, 0.6, 1.3, 0.4, probes=500, cg_tol=1e-10, cg_maxiter=500,
+        compute_value=False,
+    )
+    for g_est, g_ref in zip(
+        (grads["gamma"], grads["kappa"], grads["noise"]), gr
+    ):
+        denom = max(abs(float(g_ref)), 1.0)
+        assert abs(float(g_est) - float(g_ref)) / denom < 0.06
