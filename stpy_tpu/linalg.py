@@ -193,16 +193,17 @@ def chol_recursive(K: jnp.ndarray, nb: int = 2048,
     return _chol_rec(K, nb, precision)
 
 
-def _chol_rec(A, nb, precision):
+def _chol_rec(A, nb, precision, schur_precision=None):
+    sp = precision if schur_precision is None else schur_precision
     n = A.shape[0]
     k = n // nb
     if k <= 1:
         return jnp.linalg.cholesky(A)
     h = (k // 2) * nb
-    L11 = _chol_rec(A[:h, :h], nb, precision)
+    L11 = _chol_rec(A[:h, :h], nb, precision, sp)
     L21T = _tri_rec(L11, A[:h, h:], nb, precision)        # (h, n-h)
-    S = A[h:, h:] - jax.lax.dot(L21T.T, L21T, precision=precision)
-    L22 = _chol_rec(S, nb, precision)
+    S = A[h:, h:] - jax.lax.dot(L21T.T, L21T, precision=sp)
+    L22 = _chol_rec(S, nb, precision, sp)
     top = jnp.concatenate(
         [L11, jnp.zeros((h, n - h), A.dtype)], axis=1
     )
