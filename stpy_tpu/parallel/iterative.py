@@ -143,6 +143,25 @@ class IterativeGP:
             x, family=fam, gamma=gamma, kappa=kappa, nu=nu, noise=self.s
         )
 
+    def _lazy_matmat(self, x):
+        """Block-RHS companion of the lazy matvec (same kernel config)."""
+        from stpy_tpu.ops.pallas_gram_matvec import make_lazy_matmat
+
+        ko = self.kernel_object
+        atom = ko._atoms[0]
+        p = ko.params_dict["0"]
+        kappa = p.get("kappa", 1.0)
+        nu = atom.static.get("nu", 1.5)
+        if atom.name == "squared_exponential":
+            fam, gamma, nu = "se", p["gamma"], 1.0
+        elif atom.name == "ard":
+            fam, gamma, nu = "se", p["ard_gamma"], 1.0
+        else:
+            fam, gamma = "matern", p["gamma"]
+        return make_lazy_matmat(
+            x, family=fam, gamma=gamma, kappa=kappa, nu=nu, noise=self.s
+        )
+
     def _matvec_factory(self, x):
         """Row-sharded (K + σ²I) v matvec. With a mesh: shard_map over row
         blocks; without: plain dense matvec."""
@@ -266,13 +285,29 @@ class IterativeGP:
         method = method or ("exact" if t <= exact_threshold else "hutchinson")
 
         if method == "exact":
-            def col_solve(k_col):
-                sol, _, _ = cg_solve(
-                    self._matvec, k_col, tol=self.tol, maxiter=self.maxiter
-                )
-                return k_col @ sol
+            if self.lazy and self.mesh is None:
+                # block CG: 128 columns per fused multi-RHS Gram pass
+                from stpy_tpu.ops.pallas_gram_matvec import make_lazy_matmat
 
-            quad = jax.vmap(col_solve)(K_star)  # rows of K_star
+                mm = self._lazy_matmat(self.x)
+                quads = []
+                B = K_star.T  # (n, t)
+                for c0 in range(0, t, 128):
+                    blk = B[:, c0:c0 + 128]
+                    sol, _ = cg_solve_block(
+                        mm, blk, tol=self.tol, maxiter=self.maxiter
+                    )
+                    quads.append(jnp.sum(blk * sol, axis=0))
+                quad = jnp.concatenate(quads)
+            else:
+                def col_solve(k_col):
+                    sol, _, _ = cg_solve(
+                        self._matvec, k_col, tol=self.tol,
+                        maxiter=self.maxiter,
+                    )
+                    return k_col @ sol
+
+                quad = jax.vmap(col_solve)(K_star)  # rows of K_star
             var = jnp.clip(kss - quad, 1e-12)
             return mu, jnp.sqrt(var)[:, None]
 

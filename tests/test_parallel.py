@@ -343,3 +343,26 @@ def test_bbmm_block_probes_still_match_autodiff():
     ):
         denom = max(abs(float(g_ref)), 1.0)
         assert abs(float(g_est) - float(g_ref)) / denom < 0.06
+
+
+def test_iterative_gp_lazy_exact_variance():
+    from stpy_tpu.kernels import KernelFunction
+    from stpy_tpu.models.exact_gp import GaussianProcess
+    from stpy_tpu.parallel.iterative import IterativeGP
+
+    rng = np.random.default_rng(51)
+    x = jnp.asarray(rng.uniform(-1, 1, (250, 2)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x)[:, :1]))
+    xt = jnp.asarray(rng.uniform(-1, 1, (140, 2)))  # > one 128 chunk
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=2)
+
+    ref = GaussianProcess(kernel=k, s=0.2,
+                          var_precision=jax.lax.Precision.HIGHEST)
+    ref.fit_gp(x, y)
+    mu_ref, std_ref = ref.mean_std(xt)
+
+    it = IterativeGP(k, s=0.2, lazy=True, tol=1e-11, maxiter=800)
+    it.fit_gp(x, y)
+    mu, std = it.mean_std(xt, method="exact")
+    assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-6
+    assert float(jnp.max(jnp.abs(std - std_ref))) < 1e-6
