@@ -15,3 +15,9 @@ from stpy_tpu.parallel.blocked import (
 )
 from stpy_tpu.ops.pallas_gram_matvec import gram_matvec, make_lazy_matvec
 from stpy_tpu.parallel.bbmm import evidence_value_and_grad_lazy
+from stpy_tpu.ops.pallas_gram_matvec import (
+    gram_matmat,
+    make_lazy_matmat,
+    make_lazy_matvec_sharded,
+)
+from stpy_tpu.parallel.iterative import cg_solve_block

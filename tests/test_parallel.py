@@ -366,3 +366,26 @@ def test_iterative_gp_lazy_exact_variance():
     mu, std = it.mean_std(xt, method="exact")
     assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-6
     assert float(jnp.max(jnp.abs(std - std_ref))) < 1e-6
+
+
+def test_sharded_lazy_matvec_cg_matches_dense():
+    from jax.sharding import Mesh
+    from stpy_tpu.kernels import functions as F
+    from stpy_tpu.ops.pallas_gram_matvec import make_lazy_matvec_sharded
+    from stpy_tpu.parallel.iterative import cg_solve
+
+    rng = np.random.default_rng(61)
+    n = 320  # divisible by 8 devices
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x)[:, :1])).reshape(-1)
+    g, s = 0.5, 0.3
+    mesh = Mesh(np.array(jax.devices()), ("tp",))
+    mv = make_lazy_matvec_sharded(x, mesh, family="se", gamma=g, noise=s)
+
+    K = jnp.exp(-F.sq_dist(x / g, x / g) / 2) + s * s * jnp.eye(n)
+    v = jnp.asarray(rng.standard_normal(n))
+    assert float(jnp.max(jnp.abs(mv(v) - K @ v))) < 1e-10
+
+    alpha, it, res = cg_solve(mv, y, tol=1e-10, maxiter=600)
+    ref = jnp.linalg.solve(K, y)
+    assert float(jnp.max(jnp.abs(alpha - ref))) < 1e-7
