@@ -13,3 +13,8 @@ from stpy_tpu.test_functions.benchmarks import (
     MultiRKHS,
     LinearBenchmark,
 )
+from stpy_tpu.test_functions.protein_benchmark import (
+    ProteinBenchmark,
+    ProteinOperator,
+)
+from stpy_tpu.test_functions.swissfel_simulator import FelSimulator
