@@ -91,6 +91,56 @@ class KernelizedFeatures(Estimator, RandomProcess):
         self.precompute()
         return None
 
+    def fit_gp_streamed(self, x, y, chunk=65536):
+        """Primal fit with QᵀQ and Qᵀy ACCUMULATED over `chunk`-row blocks
+        (lax.scan) — the (n, m) feature matrix is never materialized, so n
+        is bounded by dataset storage, not device memory: the per-step state
+        is one (m, m) + (m, 1) accumulator and one chunk of features.
+
+        Leaves the estimator in the fitted primal state: `theta_mean`,
+        `mean`, `mean_std`, `ucb/lcb`, `sample_theta` all work. Methods
+        needing the raw feature matrix (dual mode, Matheron sampling against
+        an exact kernel) require the in-memory `fit_gp`.
+
+        Scale story beyond the reference (kernelized_features.py:176-246
+        materializes Q): n = 10⁷, m = 512 streams in 153 chunks of 32 MB.
+        """
+        x = as_array(x)
+        y = as_array(y).reshape(-1, 1)
+        n, d = x.shape
+        m = self.m
+        pad = (-n) % chunk
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        yp = jnp.pad(y, ((0, pad), (0, 0)))
+        wp = jnp.pad(jnp.ones((n,), x.dtype), (0, pad))
+        k = xp.shape[0] // chunk
+        xc = xp.reshape(k, chunk, d)
+        yc = yp.reshape(k, chunk, 1)
+        wc = wp.reshape(k, chunk)
+
+        def body(carry, inp):
+            V, b = carry
+            xb, yb, wb = inp
+            Q = self.embed(xb) * wb[:, None]      # padded rows zeroed
+            return (V + Q.T @ Q, b + Q.T @ yb), None
+
+        V0 = jnp.zeros((m, m), x.dtype)
+        b0 = jnp.zeros((m, 1), x.dtype)
+        (V, b), _ = jax.lax.scan(body, (V0, b0), (xc, yc, wc))
+        V = V + self.s**2 * self.lam * jnp.eye(m, dtype=x.dtype)
+        self.invV = cho_solve(
+            safe_cholesky(V).L, jnp.eye(m, dtype=x.dtype)
+        )
+        self._Qty = b
+        self.Q = None
+        self.x, self.y = x, y
+        self.n, self.d = n, d
+        self.dual = False
+        self.data = True
+        self.fitted = True
+        self.to_add = []
+        return None
+
     def fit(self, x=None, y=None):
         if x is not None:
             self.fit_gp(x, y)
@@ -208,7 +258,11 @@ class KernelizedFeatures(Estimator, RandomProcess):
                 tm = self.Q.T @ (self.invK @ self.y)
                 Z = self.invK_V
             else:
-                tm = self.invV @ (self.Q.T @ self.y)
+                Qty = (
+                    self._Qty if getattr(self, "_Qty", None) is not None
+                    and self.Q is None else self.Q.T @ self.y
+                )
+                tm = self.invV @ Qty
                 Z = self.s**2 * self.invV
         else:
             tm = jnp.zeros((self.m, 1), default_dtype())

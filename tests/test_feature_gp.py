@@ -143,3 +143,25 @@ def test_kernel_method_convention(data1d):
     F = _feature_gp(x, y, m=64)
     K = F.kernel(x[:5], x[:3])
     assert K.shape == (3, 5)  # reference convention (n_y, n_x)
+
+
+def test_streamed_fit_matches_in_memory():
+    from stpy_tpu.embeddings import HermiteEmbedding
+    from stpy_tpu.models import KernelizedFeatures
+
+    rng = np.random.default_rng(71)
+    x = jnp.asarray(rng.uniform(-1, 1, (500, 1)))
+    y = jnp.sin(3 * x) + 0.05 * jnp.asarray(rng.standard_normal((500, 1)))
+    xt = jnp.asarray(rng.uniform(-1, 1, (64, 1)))
+
+    emb = HermiteEmbedding(gamma=0.4, m=64, d=1)
+    F1 = KernelizedFeatures(embedding=emb, m=emb.get_m(), s=0.1)
+    F1.fit_gp(x, y)
+    mu1, std1 = F1.mean_std(xt)
+
+    F2 = KernelizedFeatures(embedding=emb, m=emb.get_m(), s=0.1)
+    F2.fit_gp_streamed(x, y, chunk=128)   # 500 -> 4 chunks with padding
+    mu2, std2 = F2.mean_std(xt)
+
+    assert float(jnp.max(jnp.abs(mu1 - mu2))) < 1e-9
+    assert float(jnp.max(jnp.abs(std1 - std2))) < 1e-9
