@@ -194,6 +194,37 @@ class SGCPVariational:
             jnp.quantile(s, 1 - delta, axis=1),
         )
 
+    def mean_rate_points(self, xtest):
+        """Deterministic posterior mean E_q[λ σ(g*)] by 1-D Gauss–Hermite
+        over the marginal g* ~ N(μ*, σ*²) — no Monte-Carlo noise."""
+        xtest = as_array(xtest).reshape(-1, self.d)
+        Kxz = self.kernel_object.cross(xtest, self.Z)
+        kd = self.kernel_object.diag(xtest)
+        mu, var, _ = self._marginals(self.params, Kxz, kd)
+        gx, gw = self._gh  # nodes pre-scaled by sqrt(2), weights by 1/sqrt(pi)
+        g = mu[:, None] + jnp.sqrt(var)[:, None] * gx[None, :]
+        ex = jax.nn.sigmoid(g) @ gw
+        return jnp.exp(self.params["log_lam"]) * ex
+
+    def rate_bands_exact(self, xtest, delta=0.1):
+        """EXACT posterior (δ, 1−δ) bands of the rate: λ σ(·) is monotone in
+        g, so quantiles of λ σ(g) are λ σ(μ ± z_δ σ) — closed form, no
+        sampling (replaces the MC quantiles of `rate_bands` when only the
+        pointwise marginals matter)."""
+        from jax.scipy.stats import norm
+
+        xtest = as_array(xtest).reshape(-1, self.d)
+        Kxz = self.kernel_object.cross(xtest, self.Z)
+        kd = self.kernel_object.diag(xtest)
+        mu, var, _ = self._marginals(self.params, Kxz, kd)
+        z = norm.ppf(1.0 - delta)
+        sd = jnp.sqrt(var)
+        lam = jnp.exp(self.params["log_lam"])
+        return (
+            lam * jax.nn.sigmoid(mu - z * sd),
+            lam * jax.nn.sigmoid(mu + z * sd),
+        )
+
     @property
     def lam_max(self):
         return float(jnp.exp(self.params["log_lam"]))

@@ -180,3 +180,32 @@ def test_noise_models_sampling_and_loglik():
     key, sub = jax.random.split(key)
     ys = pn.sample(sub, xs)
     assert abs(float(jnp.mean(ys)) - 2.0) < 0.2
+
+
+def test_sgcp_exact_bands_and_gh_mean_match_mc():
+    """Closed-form SGCP bands/mean vs high-sample Monte Carlo."""
+    from stpy_tpu.approx_inference.sgcp import SGCPVariational
+    from stpy_tpu.kernels import KernelFunction
+
+    from stpy_tpu.domains import BorelSet
+
+    rng = np.random.default_rng(81)
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.4, d=1)
+    S = BorelSet(1, [[-1.0, 1.0]])
+    obs = jnp.asarray(rng.uniform(-0.8, 0.2, (40, 1)))
+    sg = SGCPVariational(k, S, obs, num_inducing=12, num_integration=64)
+    sg.run(steps=200)
+    xt = jnp.linspace(-1, 1, 32)[:, None]
+
+    mu_gh = np.asarray(sg.mean_rate_points(xt)).ravel()
+    s = np.asarray(sg.sample_rate_points(xt, size=6000,
+                                         key=jax.random.PRNGKey(0)))
+    mu_mc = s.mean(axis=1)
+    assert np.max(np.abs(mu_gh - mu_mc)) < 0.12 * max(mu_mc.max(), 1e-6)
+
+    lo, hi = sg.rate_bands_exact(xt, delta=0.1)
+    lo_mc = np.quantile(s, 0.1, axis=1)
+    hi_mc = np.quantile(s, 0.9, axis=1)
+    scale = max(hi_mc.max(), 1e-6)
+    assert np.max(np.abs(np.asarray(lo).ravel() - lo_mc)) < 0.12 * scale
+    assert np.max(np.abs(np.asarray(hi).ravel() - hi_mc)) < 0.12 * scale
