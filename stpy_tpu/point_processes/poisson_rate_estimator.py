@@ -222,6 +222,19 @@ class PoissonRateEstimator(RateEstimator):
     def cov(self, inverse=False):
         return self.packing.cov(inverse=inverse)
 
+    def _var_hist_padded(self):
+        """Per-round histogram variances, padded with 1.0 to the (possibly
+        jit-padded) round count — padded rounds have zero counts and zero
+        phi rows, so unit variance keeps their contributions exactly zero."""
+        v = np.asarray(
+            [float(x) * float(self.variance_correction(float(x)))
+             for x in np.asarray(self.variances_histogram)]
+        )
+        r = int(self.counts.shape[0])
+        if v.shape[0] < r:
+            v = np.concatenate([v, np.ones(r - v.shape[0])])
+        return jnp.asarray(v, default_dtype())
+
     # -- running likelihood (for LR confidence sets) ---------------------------
     def add_data_point(self, new_data, times=True):
         super().add_data_point(new_data, times=times)
@@ -471,10 +484,7 @@ class PoissonRateEstimator(RateEstimator):
         G_half, invG_half = self.cov(inverse=True)
         phis_raw = self.phis @ invG_half
         if len(self.variances_histogram) > 0:
-            variances = np.asarray(self.variances_histogram, dtype=float)
-            variances = np.array(
-                [v * self.variance_correction(v) for v in variances]
-            )
+            variances = np.asarray(self._var_hist_padded())
         else:
             variances = np.array(
                 [
@@ -579,13 +589,8 @@ class PoissonRateEstimator(RateEstimator):
                 W = (self.observations * Dw[:, None]).T @ self.observations
         elif self.feedback == "histogram":
             if len(self.variances_histogram) > 0:
-                variances = np.array(
-                    [
-                        v * self.variance_correction(v)
-                        for v in np.asarray(self.variances_histogram)
-                    ]
-                )
-                Dw = self.counts / jnp.asarray(variances) ** 2
+                variances = self._var_hist_padded()
+                Dw = self.counts / variances ** 2
                 W = (self.phis * Dw[:, None]).T @ self.phis
         else:
             raise AssertionError("Not implemented.")
@@ -605,13 +610,7 @@ class PoissonRateEstimator(RateEstimator):
                     A = jnp.outer(self.varphis[i], self.varphis[i]) * tau[i]
                     W = W + A / (var[i] * k)
         elif self.feedback == "histogram" and len(self.variances_histogram) > 0:
-            variances = np.array(
-                [
-                    v * self.variance_correction(v)
-                    for v in np.asarray(self.variances_histogram)
-                ]
-            )
-            Dw = 1.0 / jnp.asarray(variances)
+            Dw = 1.0 / self._var_hist_padded()
             W = (self.phis * Dw[:, None]).T @ self.phis
         return W + jnp.eye(mm, dtype=W.dtype) * self.s
 
@@ -634,13 +633,7 @@ class PoissonRateEstimator(RateEstimator):
                 Dw = jnp.asarray(tau[mask_np] / var[mask_np], default_dtype())
                 W = (varphis * Dw[:, None]).T @ varphis
         elif self.feedback == "histogram" and len(self.variances_histogram) > 0:
-            variances = np.array(
-                [
-                    v * self.variance_correction(v)
-                    for v in np.asarray(self.variances_histogram)
-                ]
-            )
-            Dw = 1.0 / jnp.asarray(variances)
+            Dw = 1.0 / self._var_hist_padded()
             W = (self.phis * Dw[:, None]).T @ self.phis
         else:
             raise AssertionError("Not implemented.")

@@ -44,7 +44,9 @@ class RateEstimator:
     def _padding_active(self):
         return (
             bool(getattr(self, "jit_pad", False))
-            and getattr(self, "feedback", None) == "count-record"
+            and getattr(self, "feedback", None) in (
+                "count-record", "histogram",
+            )
             and not getattr(self, "dual", False)
         )
 

@@ -456,3 +456,23 @@ def test_batched_ucb_matches_per_action(setup_1d):
         assert float(ucbs[i]) == pytest.approx(float(est.ucb(S)), rel=1e-6)
         assert float(lcbs[i]) == pytest.approx(float(est.lcb(S)), rel=1e-6,
                                                abs=1e-8)
+
+
+def test_histogram_jit_pad_matches_unpadded(setup_1d):
+    process, hierarchy, k = setup_1d
+    data, _ = _sense_all(process, hierarchy, jax.random.PRNGKey(15), dt=20.0)
+
+    rates = {}
+    for pad in (True, False):
+        est = PoissonRateEstimator(
+            process, hierarchy, d=1, m=16, kernel_object=k, B=5.0, s=0.1,
+            feedback="histogram", jit_pad=pad,
+        )
+        est.load_data(data)
+        est.fit_gp()
+        est.update_variances()
+        W = est.construct_covariance_matrix_laplace()
+        rates[pad] = (np.asarray(est.rate), np.asarray(W))
+
+    assert np.allclose(rates[True][0], rates[False][0], atol=1e-8)
+    assert np.allclose(rates[True][1], rates[False][1], atol=1e-6)
