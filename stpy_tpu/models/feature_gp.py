@@ -208,11 +208,15 @@ class KernelizedFeatures(Estimator, RandomProcess):
                     self.invV = woodbury_inv_update(self.invV, emb.ravel())
                     self._add_points(newx, newy)
                     self.n += 1
-                    self.Q = (
-                        jnp.concatenate([self.Q, emb], axis=0)
-                        if hasattr(self, "Q")
-                        else self.embed(self.x)
-                    )
+                    if getattr(self, "Q", None) is not None:
+                        self.Q = jnp.concatenate([self.Q, emb], axis=0)
+                        if getattr(self, "_Qty", None) is not None:
+                            self._Qty = None  # Q is authoritative again
+                    elif getattr(self, "_Qty", None) is not None:
+                        # streamed state: keep Q unmaterialized, grow Qᵀy
+                        self._Qty = self._Qty + emb.T @ newy.reshape(-1, 1)
+                    else:
+                        self.Q = self.embed(self.x)
                 self.check_conversion()
             self.to_add = []
             self.fitted = True

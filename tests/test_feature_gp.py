@@ -165,3 +165,26 @@ def test_streamed_fit_matches_in_memory():
 
     assert float(jnp.max(jnp.abs(mu1 - mu2))) < 1e-9
     assert float(jnp.max(jnp.abs(std1 - std2))) < 1e-9
+
+
+def test_add_data_point_after_streamed_fit():
+    from stpy_tpu.embeddings import HermiteEmbedding
+    from stpy_tpu.models import KernelizedFeatures
+
+    rng = np.random.default_rng(72)
+    x = jnp.asarray(rng.uniform(-1, 1, (300, 1)))
+    y = jnp.sin(3 * x)
+    xn = jnp.asarray([[0.33]])
+    yn = jnp.sin(3 * xn)
+    xt = jnp.asarray(rng.uniform(-1, 1, (32, 1)))
+
+    emb = HermiteEmbedding(gamma=0.4, m=48, d=1)
+    ref = KernelizedFeatures(embedding=emb, m=emb.get_m(), s=0.1)
+    ref.fit_gp(jnp.concatenate([x, xn]), jnp.concatenate([y, yn]))
+    mu_ref, _ = ref.mean_std(xt)
+
+    F = KernelizedFeatures(embedding=emb, m=emb.get_m(), s=0.1)
+    F.fit_gp_streamed(x, y, chunk=128)
+    F.add_data_point(xn, yn)
+    mu, _ = F.mean_std(xt)
+    assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-8
