@@ -217,9 +217,17 @@ class Estimator(ABC):
             # would retrace+recompile the whole vmapped L-BFGS every time.
             # Data/params are runner ARGUMENTS so the cache stays valid
             # across refits.
+            # memory: each vmapped restart holds its own (n, n) Gram in
+            # the evidence — chunk restarts so the batch stays under ~4 GB
+            # (at n = 16k one restart's K+L is ~2 GB f32)
+            n_pts = int(self.x.shape[0])
+            per_restart_bytes = 8 * n_pts * n_pts * (8 if dt == jnp.float64
+                                                     else 4) / 4
+            chunk = max(1, min(restarts,
+                               int(4e9 // max(per_restart_bytes, 1))))
             cache_key = (
                 tuple((s_[0], s_[1], s_[2]) for s_ in specs),
-                restarts, maxiter, float(mingradnorm), weight,
+                chunk, maxiter, float(mingradnorm), weight,
                 regularizer_func is None, id(kernel),
             )
             if not hasattr(self, "_hyperopt_runners"):
@@ -237,13 +245,25 @@ class Estimator(ABC):
                         in_axes=(0, None, None, None, None),
                     )
                 )
-            result = self._hyperopt_runners[cache_key](
-                x0s, self.x, self.y, kernel.params_dict,
-                jnp.asarray(self.s, dt),
-            )
-            values = result.value
+            # run in `chunk`-sized batches; pad the last so every call
+            # reuses the one compiled runner
+            all_vals, all_xs = [], []
+            for c0 in range(0, restarts, chunk):
+                xb = x0s[c0:c0 + chunk]
+                pad_r = chunk - xb.shape[0]
+                if pad_r:
+                    xb = jnp.concatenate([xb, xb[-1:].repeat(pad_r, 0)], 0)
+                res_c = self._hyperopt_runners[cache_key](
+                    xb, self.x, self.y, kernel.params_dict,
+                    jnp.asarray(self.s, dt),
+                )
+                take = chunk - pad_r
+                all_vals.append(res_c.value[:take])
+                all_xs.append(res_c.x[:take])
+            values = jnp.concatenate(all_vals)
+            xs_all = jnp.concatenate(all_xs, axis=0)
             best = int(jnp.nanargmin(values))
-            best_x = result.x[best]
+            best_x = xs_all[best]
             if verbose:
                 print("restart values:", np.asarray(values))
 
