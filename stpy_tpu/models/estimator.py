@@ -217,14 +217,17 @@ class Estimator(ABC):
             # would retrace+recompile the whole vmapped L-BFGS every time.
             # Data/params are runner ARGUMENTS so the cache stays valid
             # across refits.
-            # memory: each vmapped restart holds its own (n, n) Gram in
-            # the evidence — chunk restarts so the batch stays under ~4 GB
-            # (at n = 16k one restart's K+L is ~2 GB f32)
+            # memory: each vmapped restart holds its own (n, n) Gram PLUS
+            # the reverse-mode Cholesky residuals (~4 n² copies live at the
+            # backward peak) — chunk restarts so a batch stays ~2 GB
+            # (measured: 3 concurrent restarts at n = 8k crash the worker,
+            # 1 works; at n ≤ 4k full batches are fine)
             n_pts = int(self.x.shape[0])
-            per_restart_bytes = 8 * n_pts * n_pts * (8 if dt == jnp.float64
-                                                     else 4) / 4
+            per_restart_bytes = 16 * n_pts * n_pts * (
+                8 if dt == jnp.float64 else 4
+            ) / 4
             chunk = max(1, min(restarts,
-                               int(4e9 // max(per_restart_bytes, 1))))
+                               int(2e9 // max(per_restart_bytes, 1))))
             cache_key = (
                 tuple((s_[0], s_[1], s_[2]) for s_ in specs),
                 chunk, maxiter, float(mingradnorm), weight,
