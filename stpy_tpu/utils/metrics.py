@@ -42,17 +42,27 @@ def timed(metrics: FitMetrics):
     metrics.wall_time_s = time.perf_counter() - t0
 
 
+def _force(out):
+    """Synchronize by SCALAR READBACK. `jax.block_until_ready` is a no-op
+    through the remote-TPU tunnel (measured: returns in 0 ms for a 7 s
+    computation) — only a host read truly blocks."""
+    import jax.numpy as jnp
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype") and getattr(leaf, "size", 0):
+            float(jnp.sum(jnp.abs(leaf.astype(jnp.float32))))
+
+
 def time_jitted(fn, *args, reps=3):
-    """(compile_time, median_run_time) for a jitted callable — blocks on a
-    scalar readback to defeat async dispatch."""
+    """(compile_time, median_run_time) for a jitted callable — forces
+    completion by scalar readback (see `_force`)."""
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     compile_time = time.perf_counter() - t0
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return compile_time, times[len(times) // 2]

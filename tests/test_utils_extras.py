@@ -72,3 +72,18 @@ def test_viz_mixin_headless_plot(tmp_path):
     plt.savefig(tmp_path / "gp.png")
     plt.close("all")
     assert (tmp_path / "gp.png").exists()
+
+
+def test_fit_metrics_timed_and_time_jitted():
+    from stpy_tpu.utils.metrics import FitMetrics, time_jitted, timed
+
+    m = FitMetrics(name="demo")
+    with timed(m):
+        v = float(jnp.sum(jnp.ones((100, 100)) @ jnp.ones((100, 100))))
+    assert v == 100 * 100 * 100
+    d = m.as_dict()
+    assert d["name"] == "demo" and d["wall_time_s"] > 0
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    compile_t, run_t = time_jitted(f, jnp.ones((64, 64)))
+    assert compile_t > 0 and run_t > 0
