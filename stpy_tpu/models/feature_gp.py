@@ -128,6 +128,7 @@ class KernelizedFeatures(Estimator, RandomProcess):
         b0 = jnp.zeros((m, 1), x.dtype)
         (V, b), _ = jax.lax.scan(body, (V0, b0), (xc, yc, wc))
         V = V + self.s**2 * self.lam * jnp.eye(m, dtype=x.dtype)
+        self.V = V  # consumed by logdet_ratio / theory beta
         self.invV = cho_solve(
             safe_cholesky(V).L, jnp.eye(m, dtype=x.dtype)
         )
