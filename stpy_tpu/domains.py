@@ -12,6 +12,7 @@ per-dimension in Python).
 
 from __future__ import annotations
 
+import itertools
 import math
 
 import numpy as np
@@ -196,12 +197,7 @@ class HierarchicalBorelSets:
         self.Sets = [self.top_node]
         self.levels = levels
         self.d = d
-        if d == 1:
-            self._construct_1d(bounds[0], levels, self.top_node)
-        elif d == 2:
-            self._construct_2d(bounds, levels, self.top_node)
-        else:
-            raise NotImplementedError("hierarchy only for d<=2")
+        self._construct(bounds, levels, self.top_node)
 
     def get_parent_set(self) -> Node:
         return self.top_node
@@ -222,35 +218,31 @@ class HierarchicalBorelSets:
         r = 2.0 / m if radius == "auto" else radius
         return [BallSet(D.d, centers[i], r) for i in range(m)]
 
-    def _construct_1d(self, interval, levels, parent):
+    def _construct(self, bounds, levels, parent):
+        """2^d-ary dyadic split to `levels` (binary in 1d, quad in 2d,
+        octree in 3d, …). Child order = binary masks in lexicographic order,
+        which reproduces the reference's 1-D left/right and 2-D quadrant
+        orders (stpy/borel_set.py:208-290; the reference stops at d=2)."""
         if levels <= 1:
             return
-        a, b = interval
-        c = (a + b) / 2.0
-        left = Node(1, np.array([[a, c]]), parent)
-        right = Node(1, np.array([[c, b]]), parent)
-        parent.left, parent.right = left, right
-        parent.children = [left, right]
-        self.Sets.append(left)
-        self._construct_1d((a, c), levels - 1, left)
-        self.Sets.append(right)
-        self._construct_1d((c, b), levels - 1, right)
-
-    def _construct_2d(self, bounds, levels, parent):
-        if levels <= 1:
-            return
-        (xa, xb), (ya, yb) = bounds
-        mx, my = (xa + xb) / 2.0, (ya + yb) / 2.0
-        quads = [
-            Node(2, np.array([[xa, mx], [ya, my]]), parent),
-            Node(2, np.array([[xa, mx], [my, yb]]), parent),
-            Node(2, np.array([[mx, xb], [ya, my]]), parent),
-            Node(2, np.array([[mx, xb], [my, yb]]), parent),
-        ]
-        parent.children = quads
-        for child in quads:
+        bounds = np.asarray(bounds, dtype=float)
+        mids = bounds.mean(axis=1)
+        children = []
+        for mask in itertools.product((0, 1), repeat=self.d):
+            nb = np.stack(
+                [
+                    np.where(np.asarray(mask) == 0, bounds[:, 0], mids),
+                    np.where(np.asarray(mask) == 0, mids, bounds[:, 1]),
+                ],
+                axis=1,
+            )
+            children.append(Node(self.d, nb, parent))
+        parent.children = children
+        if self.d == 1:
+            parent.left, parent.right = children
+        for child in children:
             self.Sets.append(child)
-            self._construct_2d(np.asarray(child.bounds), levels - 1, child)
+            self._construct(np.asarray(child.bounds), levels - 1, child)
 
 
 class CandidateSet:

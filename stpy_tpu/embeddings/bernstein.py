@@ -71,14 +71,12 @@ class BernsteinEmbedding(PositiveEmbedding):
         if key in self.procomp_integrals:
             return self.procomp_integrals[key]
         assert S.d == self.d
-        if self.d == 1:
-            psi = self._gl_integral_1d(S.bounds[0, 0], S.bounds[0, 1])
-        elif self.d == 2:
-            vx = self._gl_integral_1d(S.bounds[0, 0], S.bounds[0, 1])
-            vy = self._gl_integral_1d(S.bounds[1, 0], S.bounds[1, 1])
-            psi = (vx[:, None] * vy[None, :]).reshape(-1)
-        else:
-            raise NotImplementedError
+        # tensor-product box integral for ANY d (kron order of
+        # embed_internal); parity: positive_embedding.py:101-113 (d ≤ 3).
+        psi = self._gl_integral_1d(S.bounds[0, 0], S.bounds[0, 1])
+        for k in range(1, self.d):
+            vk = self._gl_integral_1d(S.bounds[k, 0], S.bounds[k, 1])
+            psi = (psi[:, None] * vk[None, :]).reshape(-1)
         emb = psi @ self.cov()
         self.procomp_integrals[key] = emb
         return emb

@@ -221,15 +221,15 @@ class TriangleEmbedding(PositiveEmbedding):
             return self.procomp_integrals[key]
         assert S.d == self.d
         if S.type == "box":
-            if self.d == 1:
-                psi = self.integral_1d_all(S.bounds[0, 0], S.bounds[0, 1])
-            elif self.d == 2:
-                # index j = j_x · m + j_y (kron order of embed_internal)
-                vx = self.integral_1d_all(S.bounds[0, 0], S.bounds[0, 1])
-                vy = self.integral_1d_all(S.bounds[1, 0], S.bounds[1, 1])
-                psi = (vx[:, None] * vy[None, :]).reshape(-1)
-            else:
-                raise NotImplementedError("d > 2 not implemented")
+            # tensor-product box integral for ANY d: successive outer
+            # products in the kron order of embed_internal (index
+            # j = j_1·m^{d-1} + … + j_d). Parity: positive_embedding.py:
+            # 101-113 supports d ≤ 3 via explicit np.kron; this is the
+            # general closed form.
+            psi = self.integral_1d_all(S.bounds[0, 0], S.bounds[0, 1])
+            for k in range(1, self.d):
+                vk = self.integral_1d_all(S.bounds[k, 0], S.bounds[k, 1])
+                psi = (psi[:, None] * vk[None, :]).reshape(-1)
         else:
             w, nodes = S.return_legendre_discretization(30)
             psi = w @ self.embed_internal(nodes)
