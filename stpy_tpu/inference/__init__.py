@@ -4,6 +4,9 @@ from stpy_tpu.inference.langevin import (
     projected_langevin,
     proximal_langevin,
     mirror_langevin_box,
+    mirror_langevin_positive,
+    mla_prime_positive,
+    newton_langevin,
     MirrorLangevin,
     ProximalLangevin,
 )

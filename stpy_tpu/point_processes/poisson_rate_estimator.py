@@ -51,6 +51,9 @@ from stpy_tpu.embeddings.positive import (
 from stpy_tpu.inference.hmc import hmc_sample
 from stpy_tpu.inference.langevin import (
     mirror_langevin_box,
+    mirror_langevin_positive,
+    mla_prime_positive,
+    newton_langevin,
     projected_langevin,
     proximal_langevin,
 )
@@ -907,6 +910,7 @@ class PoissonRateEstimator(RateEstimator):
         l, Lambda, u = self.get_constraints()
         G_half, invG_half = self.cov(inverse=True)
         phis_raw = self.phis @ invG_half
+        invG = invG_half.T @ invG_half
         if self.observations is not None:
             obs_raw = self.observations @ invG_half
             mult = self.obs_multiplicities
@@ -919,6 +923,13 @@ class PoissonRateEstimator(RateEstimator):
                     + jnp.sum(phis_raw @ w)
                     + 0.5 * self.s * jnp.sum(reg * reg)
                 )
+
+            def hess(w):
+                lam = jnp.clip(obs_raw @ w, 1e-10)
+                return (
+                    (obs_raw * (mult / lam**2)[:, None]).T @ obs_raw
+                    + self.s * invG
+                )
         else:
 
             def nll(w):
@@ -927,7 +938,10 @@ class PoissonRateEstimator(RateEstimator):
                     reg * reg
                 )
 
-        return jax.grad(nll), l, u, G_half, invG_half
+            def hess(w):
+                return self.s * invG
+
+        return jax.grad(nll), hess, l, u, G_half, invG_half
 
     def sample(self, verbose=False, steps=1000, domain=None):
         """Draw one posterior sample of θ; dispatch on self.sampling
@@ -937,20 +951,54 @@ class PoissonRateEstimator(RateEstimator):
         stepsize = self.stepsize
         if self.rate is None:
             self.fit_gp()
-        grad_nll, l, u, G_half, invG_half = self._posterior_nll_grad()
+        grad_nll, hess_nll, l, u, G_half, invG_half = (
+            self._posterior_nll_grad()
+        )
         w0 = jnp.clip(G_half @ self.rate.reshape(-1), l + 1e-3, u - 1e-3)
         self.key, sub = jax.random.split(self.key)
         eta = stepsize if stepsize is not None else 1.0 / (
             self.get_m() ** 2
         )
 
-        if self.sampling == "mirror" or self.sampling in (
-            "hessian", "hessian2", "mla_prime",
-        ):
+        if self.sampling == "mirror":
             xs = mirror_langevin_box(
                 sub, grad_nll, l, u, w0, steps=steps, step_size=eta
             )
             w = xs[-1]
+        elif self.sampling in ("hessian", "hessian2"):
+            # reciprocal-map mirror Langevin on {w > l} — the reference's
+            # Hessian-positive pair (:572 Newton-solve inversion, :740
+            # closed form) share these dynamics; at identity constraint
+            # matrix the inversion is exact either way
+            xs = mirror_langevin_positive(
+                sub, grad_nll, l, w0, steps=steps, step_size=eta
+            )
+            w = jnp.clip(xs[-1], l, u)
+        elif self.sampling == "mla_prime":
+            xs = mla_prime_positive(
+                sub, grad_nll, l, w0, steps=steps, step_size=eta
+            )
+            w = jnp.clip(xs[-1], l, u)
+        elif self.sampling == "newton":
+            # Newton-Langevin (:790; the reference implements it but never
+            # wires it into its dispatcher) — log-barrier keeps the box
+            bar = 1e-2
+
+            def grad_b(w):
+                return (grad_nll(w) - bar / jnp.clip(w - l, 1e-10)
+                        + bar / jnp.clip(u - w, 1e-10))
+
+            def hess_b(w):
+                return hess_nll(w) + jnp.diag(
+                    bar / jnp.clip(w - l, 1e-10) ** 2
+                    + bar / jnp.clip(u - w, 1e-10) ** 2
+                )
+
+            xs = newton_langevin(
+                sub, grad_b, hess_b, w0, steps=steps,
+                step_size=1.0 if stepsize is None else stepsize,
+            )
+            w = jnp.clip(xs[-1], l, u)
         elif self.sampling in ("proximal+prox", "proximal+simple_prox"):
             xs = proximal_langevin(
                 sub, grad_nll, lambda t, _eta: jnp.clip(t, l, u), w0,

@@ -245,10 +245,18 @@ class RateEstimator:
 
     def sample_path(self, S, n=128):
         xtest = S.return_discretization(n)
+        self._require_sampled()
         return self.packing.embed(xtest) @ self.sampled_theta
 
     def sample_path_points(self, xtest):
+        self._require_sampled()
         return self.packing.embed(xtest) @ self.sampled_theta.reshape(-1, 1)
+
+    def _require_sampled(self):
+        if getattr(self, "sampled_theta", None) is None:
+            raise RuntimeError(
+                "no posterior sample available — call .sample() first"
+            )
 
     def get_observations(self):
         if self.data is None:

@@ -164,7 +164,8 @@ def test_histogram_feedback(setup_1d):
 
 def test_posterior_sampling(setup_1d):
     process, hierarchy, k = setup_1d
-    for sampling in ["proximal+prox", "mirror"]:
+    for sampling in ["proximal+prox", "mirror", "hessian", "mla_prime",
+                     "newton"]:
         est = PoissonRateEstimator(
             process, hierarchy, d=1, m=16, kernel_object=k, B=5.0, s=0.1,
             sampling=sampling, steps=200,
