@@ -11,6 +11,7 @@ from stpy_tpu.parallel.slq import slq_logdet, slq_trace_fn, evidence_matvec_only
 from stpy_tpu.parallel.blocked import (
     blocked_cholesky,
     chol_sharded,
+    chol_sharded_rec,
     DistributedExactGP,
 )
 from stpy_tpu.ops.pallas_gram_matvec import gram_matvec, make_lazy_matvec

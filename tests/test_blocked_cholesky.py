@@ -94,3 +94,37 @@ def test_distributed_gp_refit_different_n():
         mu_ref, std_ref = ref.mean_std(x[:10])
         assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-6
         assert float(jnp.max(jnp.abs(std - std_ref))) < 1e-6
+
+
+def test_chol_sharded_rec_matches_dense():
+    """FLOP-optimal recursive sharded factorization (VERDICT r1 item 7):
+    same answer as the dense Cholesky on an 8-device row-sharded mesh,
+    including the padded (n % nb != 0) path."""
+    from stpy_tpu.parallel import chol_sharded_rec
+
+    mesh = Mesh(np.array(jax.devices()), ("tp",))
+    for n in (512, 400):
+        K = _spd(n)
+        L = chol_sharded_rec(K, mesh, nb=128)
+        Lref = np.linalg.cholesky(np.asarray(K))
+        np.testing.assert_allclose(np.asarray(L), Lref, atol=1e-8)
+
+
+def test_distributed_gp_rec_matches_masked():
+    """The rec and masked factorizations give the same posterior."""
+    mesh = Mesh(np.array(jax.devices()), ("tp",))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (192, 2)))
+    y = jnp.sin(3 * x[:, :1])
+    xt = jnp.asarray(rng.uniform(-1, 1, (48, 2)))
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=2)
+    outs = []
+    for fac in ("rec", "masked"):
+        gp = DistributedExactGP(k, s=0.1, mesh=mesh, nb=64,
+                                factorization=fac)
+        gp.fit_gp(x, y)
+        outs.append(gp.mean_std(xt))
+    np.testing.assert_allclose(np.asarray(outs[0][0]),
+                               np.asarray(outs[1][0]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(outs[0][1]),
+                               np.asarray(outs[1][1]), atol=1e-7)
