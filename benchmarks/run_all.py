@@ -56,10 +56,13 @@ def config1_exact_gp_hyperfit():
     _timed(run)      # warm-up: compile the vmapped L-BFGS program
     wall, _ = _timed(run)
     gamma = float(gp.kernel_object.params_dict["0"]["gamma"])
+    hm = getattr(gp, "hyperopt_metrics", {})
     return {
         "config": "1d_exact_gp_n1024_evidence_hyperfit",
         "wall_s": round(wall, 4),
         "fitted_gamma": round(gamma, 4),
+        "lbfgs_iters": hm.get("iterations", np.array([])).tolist(),
+        "converged": hm.get("converged", np.array([])).astype(int).tolist(),
     }
 
 
@@ -169,7 +172,12 @@ def config4_poisson_2d():
     D = hierarchy.top_node
     fitted_total = float(est.mean_set(D)[0])
     true_total = process.rate_volume(D, dt=1.0)
+    # f32 quality gate (VERDICT r1 item 4): with the host-f64 cov() fix the
+    # f32 MAP matches f64 exactly on identical data, so the fitted total
+    # must sit inside the statistical band of the realization.
+    quality_ok = abs(fitted_total - true_total) / true_total < 0.10
     return {
+        "quality_ok_10pct": bool(quality_ok),
         "config": "poisson_2d_positive_basis_quadrature",
         "wall_s": round(wall, 4),
         "fitted_total_rate": round(fitted_total, 3),
@@ -198,12 +206,17 @@ def config5_cox_mkl_64restarts():
 
     _timed(run)      # warm-up (compile)
     wall, _ = _timed(run)
+    hm = getattr(gp, "hyperopt_metrics", {})
+    iters = hm.get("iterations", np.array([]))
     return {
         "config": "cox_mkl_hyperopt_64_vmapped_restarts",
         "wall_s": round(wall, 4),
         "fitted_gamma": round(
             float(gp.kernel_object.params_dict["0"]["gamma"]), 4
         ),
+        "lbfgs_iters_mean": float(iters.mean()) if iters.size else None,
+        "lbfgs_iters_max": int(iters.max()) if iters.size else None,
+        "n_converged": int(hm.get("converged", np.array([])).sum()),
     }
 
 

@@ -25,8 +25,15 @@ import jax.numpy as jnp
 from stpy_tpu.config import as_array, default_dtype
 from stpy_tpu.domains import BorelSet
 from stpy_tpu.embeddings.base import Embedding
-from stpy_tpu.linalg import symsqrt
+from stpy_tpu.linalg import symsqrt  # noqa: F401 (re-export for subclasses)
 from stpy_tpu.opt.prox import fista_backtracking
+
+
+def _np_symsqrt(A, eps=1e-12):
+    """Host float64 symmetric sqrt (setup-time; see cov())."""
+    w, V = np.linalg.eigh(A)
+    w = np.clip(w, eps, None)
+    return (V * np.sqrt(w)) @ V.T
 
 
 class PositiveEmbedding(Embedding):
@@ -98,19 +105,27 @@ class PositiveEmbedding(Embedding):
     def cov(self, inverse=False):
         if not self.precomp:
             if self.kernel_object is not None:
+                # one-time HOST precompute in float64. The pinv/symsqrt
+                # chain runs on a grid Gram with cond ~1e12; in f32 it
+                # corrupts Γ^{1/2} enough to shift Poisson MAP totals by
+                # >10% (isolated on BASELINE config 4: f32 cov 4.06 vs
+                # f64 4.63 on identical data; with these host-f64
+                # decompositions f32 reproduces f64 exactly). Inputs may be
+                # f32-rounded — only the DECOMPOSITIONS need f64. Grid is
+                # m^d (small), so this is setup cost, not a hot path.
                 t = self._grid_nodes()
-                Gamma = self.kernel_object.gram(t)
-                Z = self.embed_internal(t)
+                Gamma = np.asarray(
+                    self.kernel_object.gram(t), np.float64
+                )
+                Z = np.asarray(self.embed_internal(t), np.float64)
                 n = Gamma.shape[0]
-                M = jnp.linalg.pinv(
-                    Z.T @ Z + self.s * jnp.eye(n, dtype=Gamma.dtype)
+                M = np.linalg.pinv(Z.T @ Z + self.s * np.eye(n))
+                Gh = _np_symsqrt(M) @ _np_symsqrt(
+                    Gamma + 1e-5 * self.s**2 * np.eye(n)
                 )
-                M_half = symsqrt(M)
-                G_half = symsqrt(
-                    Gamma + 1e-5 * self.s**2 * jnp.eye(n, dtype=Gamma.dtype)
-                )
-                self.Gamma_half = M_half @ G_half
-                self.invGamma_half = jnp.linalg.pinv(self.Gamma_half)
+                dt = default_dtype()
+                self.Gamma_half = jnp.asarray(Gh, dt)
+                self.invGamma_half = jnp.asarray(np.linalg.pinv(Gh), dt)
             else:
                 self.Gamma_half = jnp.eye(self.get_m(), dtype=default_dtype())
                 self.invGamma_half = self.Gamma_half

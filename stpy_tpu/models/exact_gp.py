@@ -26,6 +26,7 @@ from stpy_tpu.config import as_array, default_dtype
 from stpy_tpu.kernels import KernelFunction
 from stpy_tpu.linalg import (
     cho_solve,
+    cho_solve_blocked,
     logdet_from_chol,
     safe_cholesky,
     tri_solve,
@@ -42,13 +43,22 @@ class GaussianProcess(Estimator, RandomProcess):
         kernel_name="squared_exponential", diameter=1.0, groups=None,
         bounds=None, nu=1.5, kernel=None, d=1, power=2, lam=1.0,
         loss="squared", huber_delta=1.35, hyper="classical", B=1.0,
-        svr_eps=0.1, var_precision=None,
+        svr_eps=0.1, var_precision=None, precision="single",
     ):
         # precision of the predictive-variance triangular-solve GEMMs:
         # None -> tri_solve_blocked's HIGH default (bf16x3; measured at
         # n=16k: <=0.8% max relative variance error vs f64, ~35% faster);
         # pass jax.lax.Precision.HIGHEST for <=0.05% (docs/DESIGN.md §5).
         self._var_precision = var_precision
+        # precision="double": double-float (hi, lo) Gram (ops/
+        # pallas_gram_df.py) + iterative refinement of alpha + df predictive
+        # mean — matches the f64 torch reference (gauss_procc.py:367-399)
+        # to <1e-6 posterior-mean rtol at n=16k on f32-only TPU hardware
+        # (measured 5.9e-7; the pure-f32 path floors at ~1.7e-6). SE/ARD
+        # single-kernel only; variance trisolve runs HIGHEST in this mode.
+        if precision not in ("single", "double"):
+            raise ValueError(f"precision must be single|double, got {precision}")
+        self._precision = precision
         self.s = s
         self.d = d
         self.x = None
@@ -90,6 +100,54 @@ class GaussianProcess(Estimator, RandomProcess):
         return self.kernel_object.get_basis_size()
 
     # -- fitting ---------------------------------------------------------------
+    def _df_params(self, params_dict):
+        p = params_dict["0"]
+        name = self.kernel_object.optkernel
+        if (name not in ("squared_exponential", "ard")
+                or self.kernel_object.kernel_items != 1):
+            raise NotImplementedError(
+                "precision='double' supports a single SE/ARD kernel "
+                f"(got {name} x{self.kernel_object.kernel_items})"
+            )
+        gamma = p.get("gamma", p.get("ard_gamma"))
+        return gamma, p.get("kappa", 1.0)
+
+    def _build_df_jits(self):
+        from stpy_tpu.ops.pallas_gram_df import gram_se_df
+
+        HIP = jax.lax.Precision.HIGHEST
+
+        def fit(x, y, params_dict, s):
+            n = x.shape[0]
+            gamma, kappa = self._df_params(params_dict)
+            Kh, Kl = gram_se_df(x, x, gamma, kappa)
+            A = Kh + (s * s) * jnp.eye(n, dtype=Kh.dtype)
+            res = safe_cholesky(A)
+            alpha = cho_solve_blocked(res.L, y)
+            # two refinement steps with the df residual: converges to the
+            # (hi + lo)-system solution, i.e. f64-reference quality
+            for _ in range(2):
+                r = y - (
+                    jax.lax.dot(Kh, alpha, precision=HIP)
+                    + jax.lax.dot(Kl, alpha, precision=HIP)
+                    + (s * s) * alpha
+                )
+                alpha = alpha + cho_solve_blocked(res.L, r)
+            return res.L, alpha, res.ok, res.jitter
+
+        def predict(L, alpha, x, xtest, params_dict):
+            gamma, kappa = self._df_params(params_dict)
+            Kh, Kl = gram_se_df(xtest, x, gamma, kappa)     # (t, n)
+            mu = (jax.lax.dot(Kh, alpha, precision=HIP)
+                  + jax.lax.dot(Kl, alpha, precision=HIP))
+            V = tri_solve_blocked(L, Kh.T, precision=HIP)   # (n, t)
+            kss = self.kernel_object.diag(xtest, params_dict)
+            var = jnp.maximum(kss - jnp.sum(V * V, axis=0), 1e-30)
+            return mu, jnp.sqrt(var)[:, None]
+
+        self._fit_fn = jax.jit(fit)
+        self._predict_fn = jax.jit(predict)
+
     def _build_jits(self):
         kernel = self.kernel_object
 
@@ -127,6 +185,8 @@ class GaussianProcess(Estimator, RandomProcess):
         self._fit_fn = jax.jit(fit)
         self._predict_fn = jax.jit(predict)
         self._predict_full_fn = jax.jit(predict_full)
+        if self._precision == "double":
+            self._build_df_jits()  # overrides fit/predict, keeps full-cov
 
     def fit_gp(self, x, y, Sigma=None, iterative=False, extrapoint=False):
         """Fit the GP: Gram + jittered Cholesky + solve. `Sigma` optionally
@@ -390,7 +450,7 @@ class GaussianProcess(Estimator, RandomProcess):
         self, type="bandwidth", restarts=10, regularizer=None, maxiter=200,
         mingradnorm=1e-6, verbose=False, optimizer="lbfgs", scale=1.0,
         weight=1.0, save=False, save_name="model.np", init_func=None,
-        bounds=None, parallel=False, cores=None, key=None,
+        bounds=None, parallel=False, cores=None, key=None, **hyperopt_kwargs,
     ):
         regularizer_func = None
         if regularizer is not None:
@@ -446,6 +506,7 @@ class GaussianProcess(Estimator, RandomProcess):
             regularizer_func=regularizer_func, maxiter=maxiter,
             mingradnorm=mingradnorm, verbose=verbose, scale=scale,
             weight=weight, save=save, save_name=save_name, key=key,
+            **hyperopt_kwargs,
         )
 
     # -- BO acquisition (parity: gauss_procc.py:918-1085) -----------------------
@@ -613,8 +674,16 @@ class GaussianProcess(Estimator, RandomProcess):
         self.fit_gp(self.x, self.y)
         return True
 
-    def isin(self, ucb_of_point):  # pragma: no cover - parity stub
-        return True
+    def isin(self, xnext, epsilon=1e-3):
+        """True iff `xnext` is within `epsilon` (L2) of an existing training
+        point (parity: gauss_procc.py:965-969; vectorized instead of the
+        reference's per-row loop)."""
+        if self.x is None:
+            return False
+        xnext = as_array(xnext).reshape(1, -1)
+        return bool(
+            jnp.any(jnp.linalg.norm(self.x - xnext, axis=1) < epsilon)
+        )
 
     def gradient_mean_var(self, point, hessian=True):
         """Gradient of the posterior mean and (optionally) the Hessian-form

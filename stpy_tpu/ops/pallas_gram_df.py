@@ -1,0 +1,288 @@
+"""Double-float (hi, lo) SE Gram as a Pallas TPU kernel.
+
+Why this exists: the TPU has no f64, and an f32 Gram caps the exact-GP
+posterior-mean accuracy at ~1e-6 rtol vs an f64 reference at n=16k — the
+*storage rounding* of K itself is the floor (measured: a perfect
+f64-rounded-to-f32 K plateaus at 1.06e-6 mean rel err even with iterative
+refinement; adding the exact lo part takes it to 5.9e-7, see
+benchmarks/exp_roofline.py). This kernel computes each Gram entry as an
+unevaluated pair (hi, lo) with hi + lo = kappa·exp(-||x-y||²/(2γ²)) to
+~1e-9 relative, entirely in f32 VPU arithmetic:
+
+  * coordinates are pre-scaled by 1/γ in double-float OUTSIDE the kernel
+    (elementwise jnp, cheap) so ARD lengthscales are free;
+  * squared distances accumulate with error-free transformations
+    (TwoSum / Dekker TwoProd — no FMA primitive is exposed, so products
+    split via the 2^12+1 Veltkamp constant);
+  * exp uses range reduction z = k·ln2 + r with a split ln2 (the high part
+    has an 11-bit mantissa so k·ln2_hi is exact for |k| ≤ 128) and
+    e^r = 1 + r + r²/2 + r³·Q(r) with Q in plain f32 — the r³ prefactor
+    keeps the f32 polynomial error below ~1e-9 of e^r;
+  * 2^k is built by exponent-field bitcast (exact; entries with
+    z < -87 flush to exactly 0 — they are < 1.6e-38 anyway).
+
+Used by the exact-GP "double" precision path: factor A_hi once, then
+iterative refinement with residuals r = y - (A_hi + A_lo + s²I)·α converges
+to the f64-quality solution. Reference semantics: the torch reference is
+float64 end-to-end (stpy/continuous_processes/gauss_procc.py:367-399);
+this is how the TPU rebuild matches it without f64 hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG2E = 1.4426950408889634
+_LN2_HI = 0.693359375                 # 11-bit mantissa: k*LN2_HI exact
+_LN2_REST = -2.1219444005469057e-04   # ln2 - LN2_HI
+_SPLIT = 4097.0                       # Veltkamp constant for f32 (2^12 + 1)
+
+# df path is VPU-bound with a static unroll over feature dims
+DF_MAX_D = 32
+
+
+def _make_eft(use_barriers: bool):
+    """Error-free-transformation helpers, optionally wrapped in
+    optimization barriers.
+
+    The transforms depend on the EXACT rounded value of intermediates like
+    s = fl(a + b); XLA's HLO algebraic simplifier happily rewrites
+    (a + b) - a -> b, silently destroying the error term (measured: the df
+    accumulation degrades 1.2e-14 -> 3.8e-8 under jit without barriers).
+    Barriers are needed wherever the HLO pipeline runs: regular jit code
+    and interpret-mode Pallas. The Mosaic TPU kernel path lowers the jaxpr
+    directly (no HLO simplifier) and does NOT implement
+    optimization_barrier — so the compiled kernel uses the bare forms
+    (TPU accuracy is asserted against the f64 host in tests).
+    """
+    ob = jax.lax.optimization_barrier if use_barriers else (lambda x: x)
+
+    def two_sum(a, b):
+        s = ob(a + b)
+        v = ob(s - a)
+        e = (a - (s - v)) + (b - v)
+        return s, e
+
+    def fast_two_sum(a, b):  # requires |a| >= |b| (or a == 0)
+        s = ob(a + b)
+        e = b - (s - a)
+        return s, e
+
+    def two_prod(a, b):
+        p = ob(a * b)
+        ca = ob(a * _SPLIT)
+        ah = ob(ca - (ca - a))
+        al = a - ah
+        cb = ob(b * _SPLIT)
+        bh = ob(cb - (cb - b))
+        bl = b - bh
+        e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        return p, e
+
+    def df_add(xh, xl, yh, yl):
+        sh, se = two_sum(xh, yh)
+        return fast_two_sum(sh, se + xl + yl)
+
+    return two_sum, fast_two_sum, two_prod, df_add
+
+
+# module-level variants run under regular jit (HLO pipeline) -> barriers on
+_two_sum, _fast_two_sum, _two_prod, _df_add = _make_eft(True)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _gram_df_kernel(kap_ref, xh_ref, xl_ref, yh_ref, yl_ref,
+                    oh_ref, ol_ref, *, d, barriers):
+    _two_sum, _fast_two_sum, _two_prod, _df_add = _make_eft(barriers)
+    xh, xl = xh_ref[:], xl_ref[:]          # (TM, dp)
+    yh, yl = yh_ref[:], yl_ref[:]          # (dp, TN), pre-transposed
+    acc_h = jnp.zeros((xh.shape[0], yh.shape[1]), jnp.float32)
+    acc_l = jnp.zeros_like(acc_h)
+    for c in range(d):                     # static unroll (d <= DF_MAX_D)
+        dh, de = _two_sum(xh[:, c:c + 1], -yh[c:c + 1, :])
+        dl = de + (xl[:, c:c + 1] - yl[c:c + 1, :])
+        sh, se = _two_prod(dh, dh)
+        se = se + 2.0 * dh * dl
+        acc_h, acc_l = _df_add(acc_h, acc_l, sh, se)
+
+    # w = -sq/2 (exact halving), then e^w via range reduction
+    wh = -0.5 * acc_h
+    wl = -0.5 * acc_l
+    live = wh > -87.0
+    k = jnp.round(wh * _LOG2E)
+    rh, re = _two_sum(wh, -(k * _LN2_HI))
+    rl = re - k * _LN2_REST + wl
+    rh, rl = _fast_two_sum(rh, rl)
+
+    sqh, sqe = _two_prod(rh, rh)
+    sqe = sqe + 2.0 * rh * rl
+    # e^r = 1 + r + r²/2 + r³·Q(r); Q in f32 — error enters at r³·1e-7·Q
+    q = 1.0 / 40320.0
+    for ccoef in (1.0 / 5040.0, 1.0 / 720.0, 1.0 / 120.0, 1.0 / 24.0,
+                  1.0 / 6.0):
+        q = q * rh + ccoef
+    c3 = rh * sqh * q
+    eh, el = _fast_two_sum(1.0, rh)
+    el = el + rl
+    eh, el = _df_add(eh, el, 0.5 * sqh, 0.5 * sqe)
+    el = el + c3
+    eh, el = _fast_two_sum(eh, el)
+
+    # exact 2^k scaling via exponent bitcast (k in [-126, 0] when live)
+    ki = jnp.clip(k, -126.0, 126.0).astype(jnp.int32)
+    pw = pltpu.bitcast(
+        jax.lax.shift_left(ki + 127, jnp.int32(23)), jnp.float32
+    )
+    eh = jnp.where(live, eh * pw, 0.0)
+    el = jnp.where(live, el * pw, 0.0)
+
+    kh = kap_ref[0, 0]
+    kl = kap_ref[0, 1]
+    oh, oe = _two_prod(eh, kh)
+    oe = oe + eh * kl + el * kh
+    oh, ol = _fast_two_sum(oh, oe)
+    oh_ref[:] = oh
+    ol_ref[:] = ol
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "interpret")
+)
+def _gram_df_pallas(xh, xl, yh, yl, kappa_df,
+                    *, block_m: int, block_n: int, interpret: bool):
+    n, d = xh.shape
+    m = yh.shape[0]
+    dp = _round_up(max(d, 1), 8)
+    np_, mp = _round_up(n, block_m), _round_up(m, block_n)
+
+    def padx(a):
+        return jnp.pad(a, ((0, np_ - n), (0, _round_up(d, 128) - d)))
+
+    def pady(a):
+        return jnp.pad(a, ((0, mp - m), (0, dp - d))).T  # (dp, mp)
+
+    # barriers only where the HLO simplifier runs (interpret mode); the
+    # Mosaic TPU lowering has no optimization_barrier and no such rewrites
+    kern = functools.partial(_gram_df_kernel, d=d, barriers=interpret)
+    oh, ol = pl.pallas_call(
+        kern,
+        grid=(np_ // block_m, mp // block_n),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, _round_up(d, 128)), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, _round_up(d, 128)), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+            jax.ShapeDtypeStruct((np_, mp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(40 * d + 80) * np_ * mp,
+            bytes_accessed=4 * (2 * np_ * dp + 2 * mp * dp + 2 * np_ * mp),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(kappa_df, padx(xh), padx(xl), pady(yh), pady(yl))
+    return oh[:n, :m], ol[:n, :m]
+
+
+def _df_inv(g):
+    """Double-float reciprocal of f32 g via one exact Newton residual."""
+    g = jnp.asarray(g, jnp.float32)
+    ih = 1.0 / g
+    p, pe = _two_prod(g, ih)
+    r = (1.0 - p) - pe
+    return ih, ih * r
+
+
+def _df_scale_coords(x, inv_h, inv_l):
+    """Elementwise df product x*(inv_h+inv_l) -> (hi, lo), plain jnp."""
+    x = jnp.asarray(x, jnp.float32)
+    p, pe = _two_prod(x, inv_h)
+    return _fast_two_sum(p, pe + x * inv_l)
+
+
+def gram_se_df(x, y, gamma, kappa=1.0, *, block_m=256, block_n=256,
+               interpret=None):
+    """Double-float SE Gram: returns (hi, lo) f32 arrays with
+    hi + lo = kappa·exp(-||x-y||²/(2γ²)) to ~1e-9 relative.
+
+    gamma may be a scalar or per-dim (ARD) array. On non-TPU backends with
+    x64 enabled this falls back to an exact f64 computation split into
+    (hi, lo) — same contract, used by the CPU test-suite.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    d = x.shape[1]
+    g = jnp.broadcast_to(jnp.asarray(gamma, jnp.float32).reshape(-1), (d,))
+
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = False
+    if (not on_tpu) and (not interpret) and not jax.config.jax_enable_x64:
+        interpret = True  # CPU f32: exercise the actual kernel, interpreted
+    if (not on_tpu) and jax.config.jax_enable_x64 and not interpret:
+        g64 = (jnp.asarray(gamma, jnp.float64)
+               if isinstance(gamma, (int, float, np.ndarray, np.floating))
+               else jnp.asarray(g, jnp.float64)).reshape(-1)
+        x64 = x.astype(jnp.float64)
+        y64 = y.astype(jnp.float64)
+        sq = jnp.sum(
+            ((x64[:, None, :] - y64[None, :, :]) / g64) ** 2, axis=-1
+        )
+        K = jnp.asarray(kappa, jnp.float64) * jnp.exp(-0.5 * sq)
+        hi = K.astype(jnp.float32).astype(jnp.float64)
+        return hi, K - hi
+    if d > DF_MAX_D:
+        raise NotImplementedError(
+            f"df Gram supports d <= {DF_MAX_D} (got {d}); use the f32 path"
+        )
+
+    # concrete host parameters keep their f64 meaning: split 1/γ and κ in
+    # f64 on host; traced parameters fall back to f32-rounded semantics
+    if isinstance(gamma, (int, float, np.ndarray, np.floating)):
+        g64 = np.broadcast_to(np.asarray(gamma, np.float64).reshape(-1), (d,))
+        inv64 = 1.0 / g64
+        ih = jnp.asarray(inv64.astype(np.float32))
+        il = jnp.asarray((inv64 - ih).astype(np.float32))
+    else:
+        ih, il = _df_inv(g)
+    xh, xl = _df_scale_coords(x.astype(jnp.float32), ih, il)
+    yh, yl = _df_scale_coords(y.astype(jnp.float32), ih, il)
+    if isinstance(kappa, (int, float, np.ndarray, np.floating)):
+        k64 = np.float64(kappa)
+        kh = np.float32(k64)
+        kappa_df = jnp.asarray(
+            np.array([[kh, np.float32(k64 - np.float64(kh))]], np.float32)
+        )
+    else:
+        kap = jnp.asarray(kappa, jnp.float32)
+        kappa_df = jnp.stack(
+            [kap, jnp.zeros((), jnp.float32)]
+        ).reshape(1, 2)
+    return _gram_df_pallas(
+        xh, xl, yh, yl, kappa_df,
+        block_m=block_m, block_n=block_n, interpret=bool(interpret),
+    )

@@ -31,13 +31,22 @@ def minimize_lbfgs(
     tol: float = 1e-8,
     memory_size: int = 10,
     linesearch: str = "zoom",
+    rtol: float = 0.0,
+    xtol: float = 0.0,
 ) -> LBFGSResult:
     """Minimize `fun` (flat-vector -> scalar) starting from x0. jit/vmap-safe.
 
     linesearch='zoom' (strong-Wolfe; default) or 'backtracking' (sufficient
     decrease only — a much smaller XLA program, ~3x faster compiles for the
     vmapped-restart hyperopt; quality is usually equivalent with L-BFGS
-    scaling)."""
+    scaling).
+
+    Stopping: ||g|| <= tol (absolute) OR ||g|| <= rtol·(1+|f|) OR
+    ||Δx||_∞ <= xtol·(1+||x||_∞). rtol/xtol default OFF (0.0) to preserve
+    strict semantics for MAP fits; the evidence hyperopt turns them on —
+    an absolute 1e-6 gradient norm is unreachable in f32 on an n-point
+    evidence (gradient noise floor ~1e-3), so without them every restart
+    silently burns all max_iter iterations."""
     if linesearch == "backtracking":
         opt = optax.lbfgs(
             memory_size=memory_size,
@@ -49,27 +58,41 @@ def minimize_lbfgs(
         opt = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(fun)
 
+    def _done(x, gnorm, val, dx):
+        stop = gnorm <= tol
+        if rtol > 0.0:
+            stop = jnp.logical_or(stop, gnorm <= rtol * (1.0 + jnp.abs(val)))
+        if xtol > 0.0:
+            stop = jnp.logical_or(
+                stop,
+                dx <= xtol * (1.0 + jnp.max(jnp.abs(x))),
+            )
+        return stop
+
     def cond(carry):
-        x, state, it, gnorm, val = carry
-        return jnp.logical_and(it < max_iter, gnorm > tol)
+        x, state, it, gnorm, val, dx = carry
+        return jnp.logical_and(it < max_iter, ~_done(x, gnorm, val, dx))
 
     def body(carry):
-        x, state, it, _, _ = carry
+        x, state, it, _, _, _ = carry
         value, grad = value_and_grad(x, state=state)
         updates, state = opt.update(
             grad, state, x, value=value, grad=grad, value_fn=fun
         )
+        dx = jnp.max(jnp.abs(jax.tree.leaves(updates)[0]))
         x = optax.apply_updates(x, updates)
         gnorm = jnp.linalg.norm(grad)
-        return x, state, it + 1, gnorm, value
+        return x, state, it + 1, gnorm, value, dx
 
     state0 = opt.init(x0)
     v0 = fun(x0)
-    carry = (x0, state0, jnp.asarray(0), jnp.asarray(jnp.inf, x0.dtype), v0)
-    x, state, it, gnorm, _ = jax.lax.while_loop(cond, body, carry)
+    inf = jnp.asarray(jnp.inf, x0.dtype)
+    carry = (x0, state0, jnp.asarray(0), inf, v0, inf)
+    x, state, it, gnorm, _, dx = jax.lax.while_loop(cond, body, carry)
     # final value at returned point (not the pre-step value in the carry)
     vf = fun(x)
-    return LBFGSResult(x=x, value=vf, iterations=it, converged=gnorm <= tol)
+    return LBFGSResult(x=x, value=vf, iterations=it,
+                       converged=_done(x, gnorm, vf, dx))
 
 
 # -- smooth reparameterizations for constrained hyperparameters ---------------

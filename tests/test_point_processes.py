@@ -477,3 +477,66 @@ def test_histogram_jit_pad_matches_unpadded(setup_1d):
 
     assert np.allclose(rates[True][0], rates[False][0], atol=1e-8)
     assert np.allclose(rates[True][1], rates[False][1], atol=1e-6)
+
+
+def test_poisson_map_f32_matches_f64(tmp_path):
+    """f32/f64 MAP agreement on IDENTICAL data (VERDICT r1 item 4: config 4
+    showed a 21% f32-vs-f64 gap; root cause was the f32 pinv/symsqrt chain
+    in PositiveEmbedding.cov(), now computed on host in float64). x64 is
+    process-global, so each precision runs in a subprocess."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    script = tmp_path / "fit.py"
+    script.write_text(
+        """
+import sys
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+if sys.argv[1] == 'f64':
+    jax.config.update('jax_enable_x64', True)
+import jax.numpy as jnp
+from stpy_tpu.domains import HierarchicalBorelSets
+from stpy_tpu.kernels import KernelFunction
+from stpy_tpu.point_processes import PoissonPointProcess, PoissonRateEstimator
+
+hierarchy = HierarchicalBorelSets(1, [[-1.0, 1.0]], levels=2)
+k = KernelFunction(kernel_name='squared_exponential', gamma=0.3, d=1)
+process = PoissonPointProcess(d=1, B=4.0, b=0.5)
+est = PoissonRateEstimator(process, hierarchy, d=1, m=12, kernel_object=k,
+                           B=5.0, s=1e-3)
+rng = np.random.default_rng(7)
+data = []
+for S in hierarchy.get_sets_level(2):
+    b = np.asarray(S.bounds)
+    m_ = rng.poisson(4.0 * float(b[0, 1] - b[0, 0]) * 20.0)
+    pts = rng.uniform(b[0, 0], b[0, 1], (m_, 1))
+    keep = rng.uniform(0, 1, m_) < ((2.0 + np.cos(3 * pts[:, 0])) / 4.0)
+    obs = jnp.asarray(pts[keep].astype(np.float32))
+    data.append((S, obs if obs.shape[0] else None, 20.0))
+est.load_data(data)
+est.fit_gp()
+print('TOTAL', float(est.mean_set(hierarchy.top_node)[0]))
+"""
+    )
+    env = dict(os.environ)
+    import stpy_tpu
+
+    repo = os.path.dirname(os.path.dirname(stpy_tpu.__file__))
+    env["PYTHONPATH"] = (
+        env.get("PYTHONPATH", "") + os.pathsep + repo
+    ).lstrip(os.pathsep)
+
+    def run(prec):
+        out = subprocess.run(
+            [_sys.executable, str(script), prec], env=env,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("TOTAL")]
+        return float(line[0].split()[1])
+
+    t32, t64 = run("f32"), run("f64")
+    assert abs(t32 - t64) / abs(t64) < 5e-3, (t32, t64)
