@@ -50,7 +50,7 @@ def config1_exact_gp_hyperfit():
     gp.fit_gp(x, y)
 
     def run():
-        gp.optimize_params(type="bandwidth", restarts=8, maxiter=100)
+        gp.optimize_params(type="bandwidth", restarts=8, maxiter=40)
         return gp.L
 
     _timed(run)      # warm-up: compile the vmapped L-BFGS program
@@ -201,7 +201,7 @@ def config5_cox_mkl_64restarts():
 
     def run():
         # 64 restarts = ONE vmapped on-device L-BFGS (BASELINE config 5)
-        gp.optimize_params(type="bandwidth", restarts=64, maxiter=100)
+        gp.optimize_params(type="bandwidth", restarts=64, maxiter=40)
         return gp.L
 
     _timed(run)      # warm-up (compile)

@@ -248,8 +248,13 @@ class Estimator(ABC):
                             # without these every restart burns maxiter
                             rtol=rtol, xtol=xtol,
                             # backtracking: same optimum as zoom here,
-                            # ~3x faster XLA compile
+                            # ~3x faster XLA compile. Shallow cap: under
+                            # vmap every lane pays the deepest lane's
+                            # backtracking, and with L-BFGS scaling the
+                            # accepted step is almost always within a few
+                            # halvings (quality checked on configs 1/5)
                             linesearch="backtracking",
+                            max_linesearch_steps=12,
                         ),
                         in_axes=(0, None, None, None, None),
                     )

@@ -33,6 +33,7 @@ def minimize_lbfgs(
     linesearch: str = "zoom",
     rtol: float = 0.0,
     xtol: float = 0.0,
+    max_linesearch_steps: int = 30,
 ) -> LBFGSResult:
     """Minimize `fun` (flat-vector -> scalar) starting from x0. jit/vmap-safe.
 
@@ -51,7 +52,7 @@ def minimize_lbfgs(
         opt = optax.lbfgs(
             memory_size=memory_size,
             linesearch=optax.scale_by_backtracking_linesearch(
-                max_backtracking_steps=30, store_grad=True
+                max_backtracking_steps=max_linesearch_steps, store_grad=True
             ),
         )
     else:
