@@ -22,3 +22,9 @@ from stpy_tpu.ops.pallas_gram_matvec import (
     make_lazy_matvec_sharded,
 )
 from stpy_tpu.parallel.iterative import cg_solve_block
+from stpy_tpu.parallel.data import (
+    host_sharded,
+    HostShardedLoader,
+    streamed_feature_stats,
+    fit_feature_gp_sharded,
+)
