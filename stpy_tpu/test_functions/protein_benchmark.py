@@ -95,6 +95,33 @@ class ProteinBenchmark:
         self.y = jnp.asarray(y, default_dtype())
         self.X = self.op.translate_one_hot(self.X_codes)
 
+    @classmethod
+    def synthetic(cls, dim=2, n=256, key=0, epistasis=0.3, noise=0.0):
+        """Generate a synthetic mutation landscape so the benchmark is
+        exercisable without the reference's bundled .xlsx: fitness = additive
+        per-site effects + pairwise epistasis on one-hot codes, the standard
+        NK-landscape-style generative model. Returns (benchmark, truth_fn)
+        where truth_fn maps integer codes -> noiseless fitness."""
+        rng = np.random.default_rng(key)
+        op = ProteinOperator()
+        q = op.q
+        codes = rng.integers(0, q, size=(n, dim))
+        w_site = rng.standard_normal((dim, q))
+        w_pair = epistasis * rng.standard_normal((dim, dim, q, q))
+
+        def truth_fn(codes):
+            codes = np.atleast_2d(np.asarray(codes)).astype(int)
+            f = w_site[np.arange(dim), codes].sum(axis=1)
+            for a in range(dim):
+                for b in range(a + 1, dim):
+                    f = f + w_pair[a, b, codes[:, a], codes[:, b]]
+            return f.reshape(-1, 1)
+
+        y = truth_fn(codes)
+        if noise:
+            y = y + noise * rng.standard_normal(y.shape)
+        return cls((codes, y), dim=dim), truth_fn
+
     def data_summary(self):
         return {
             "n": int(self.X.shape[0]),

@@ -1,0 +1,73 @@
+"""End-to-end exercise of the data-backed benchmarks (SURVEY §2.10) on
+synthetic data: ProteinBenchmark's mutation landscape drives a one-hot
+feature GP to high train accuracy and useful held-out ranking; FelSimulator
+supports the full fit -> hyperfit -> eval -> save/load loop."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from stpy_tpu.embeddings import OnehotEmbedding
+from stpy_tpu.models import GaussianProcess, KernelizedFeatures
+from stpy_tpu.test_functions.protein_benchmark import (
+    ProteinBenchmark,
+    ProteinOperator,
+)
+from stpy_tpu.test_functions.swissfel_simulator import FelSimulator
+
+
+def test_protein_synthetic_landscape_gp_fit():
+    bench, truth_fn = ProteinBenchmark.synthetic(dim=2, n=300, key=0,
+                                                 epistasis=0.0)
+    X, y = bench.get_data()
+    assert X.shape == (300, 2 * 20)  # one-hot over 20 amino acids per site
+
+    emb = OnehotEmbedding(d=2, cats=20)
+    F = KernelizedFeatures(embedding=emb, m=emb.get_m(), s=0.05, lam=1e-6,
+                           primal=True, d=2)
+    F.fit_gp(bench.X_codes.astype(float), y)
+
+    # additive landscape is exactly representable in one-hot features:
+    # held-out variants must be predicted to high accuracy
+    rng = np.random.default_rng(1)
+    codes_test = rng.integers(0, 20, size=(64, 2))
+    mu, _ = F.mean_std(jnp.asarray(codes_test, jnp.float32))
+    y_true = truth_fn(codes_test) / bench.y_scale
+    resid = np.abs(np.asarray(mu) - y_true).max()
+    assert resid < 0.05, resid
+
+
+def test_protein_operator_roundtrips():
+    op = ProteinOperator()
+    codes = op.translate([["A", "R"], ["W", "V"]])
+    assert codes.tolist() == [[0, 1], [17, 19]]
+    onehot = op.translate_one_hot(codes)
+    assert onehot.shape == (2, 40)
+    assert float(onehot.sum()) == 4.0
+    pos, src, dst = op.get_substitutes_from_mutation("A123T")
+    assert (pos, src, dst) == (123, 0, 16)
+    letters = op.interval_letters(1)
+    assert letters[:2] == ["A", "R"] and len(letters) == 20
+
+
+def test_fel_simulator_hyperfit_and_checkpoint(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (60, 2))
+    y = np.exp(-2 * np.sum(x**2, axis=1, keepdims=True))
+    sim = FelSimulator(d=2, sigma=0.01)
+    sim.load_fresh(x, y)
+    gp = GaussianProcess(gamma=1.0, s=0.01, d=2)
+    sim.fit_simulator(gp, optimize="bandwidth", restarts=2)
+    # hyperfit moved the lengthscale off its 1.0 init toward the data scale
+    assert float(gp.kernel_object.params_dict["0"]["gamma"]) != 1.0
+
+    val = sim.eval_noiseless(np.zeros((1, 2)))
+    assert abs(float(val[0, 0]) - 1.0) < 0.1
+
+    f = os.path.join(tmp_path, "fel.npz")
+    sim.save(f)
+    sim2 = FelSimulator(d=2, sigma=0.01)
+    sim2.load_pickle(f)
+    assert np.allclose(np.asarray(sim2.x), x)
+    assert np.allclose(np.asarray(sim2.y), y)
