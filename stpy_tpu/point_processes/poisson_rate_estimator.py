@@ -93,6 +93,71 @@ def _map_count_record_lbfgs(phis_raw, obs_raw, mult, invG_half, s, l, u, w0,
     return l_arr + span * jax.nn.sigmoid(res.x)
 
 
+def _sigmoid_box_lbfgs(obj_w, l, u, w0, max_iter):
+    """Shared sigmoid-reparam box L-BFGS core for the bucket solvers."""
+    eps = 1e-4
+    l_arr = jnp.asarray(l) + eps
+    span = jnp.asarray(u) - l_arr
+    t0 = jnp.clip((w0 - l_arr) / span, 1e-4, 1 - 1e-4)
+    z0 = jnp.log(t0) - jnp.log1p(-t0)
+    res = minimize_lbfgs(
+        lambda z: obj_w(l_arr + span * jax.nn.sigmoid(z)),
+        z0, max_iter=max_iter, tol=1e-9, memory_size=30,
+    )
+    return l_arr + span * jax.nn.sigmoid(res.x)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _map_bins_lbfgs(phis_raw, tau, obs, mask, invG_half, s, l, u, w0,
+                    max_iter=3000):
+    """Binned count-record MAP over the FULL (static) bucket set: unvisited
+    buckets have τ = obs = 0 and are excluded from the log term by `mask`
+    (a `where`, not a gather — shapes never depend on the sensing history,
+    so one compiled program serves a whole campaign)."""
+
+    def obj(w):
+        lam = jnp.clip(tau * (phis_raw @ w), 1e-12)
+        reg = invG_half @ w
+        return (
+            -jnp.sum(jnp.where(mask, obs * jnp.log(lam), 0.0))
+            + jnp.sum(tau * (phis_raw @ w))
+            + 0.5 * s * jnp.sum(reg * reg)
+        )
+
+    return _sigmoid_box_lbfgs(obj, l, u, w0, max_iter)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _map_anchor_lbfgs(phis_raw, tau, obs_raw, weights, invG_half, s, l, u,
+                      w0, max_iter=3000):
+    """Dual/anchor-compressed MAP: anchor grid is fixed at construction, so
+    obs_raw/weights are static; zero-weight anchors are masked by `where`."""
+
+    def obj(w):
+        lam = jnp.clip(obs_raw @ w, 1e-12)
+        reg = invG_half @ w
+        return (
+            -jnp.sum(jnp.where(weights > 0, weights * jnp.log(lam), 0.0))
+            + jnp.sum(tau * (phis_raw @ w))
+            + 0.5 * s * jnp.sum(reg * reg)
+        )
+
+    return _sigmoid_box_lbfgs(obj, l, u, w0, max_iter)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _wls_bins_lbfgs(phis_raw, tau, obs, var, invG_half, s, l, u, w0,
+                    max_iter=3000):
+    """Weighted LS over the full bucket set; unvisited buckets contribute
+    (0·w − 0)/√1 = 0 residuals (caller fills their variance slots with 1)."""
+
+    def obj(w):
+        r = (tau * (phis_raw @ w) - obs) / jnp.sqrt(var)
+        reg = invG_half @ w
+        return jnp.sum(r * r) + 0.5 * s * jnp.sum(reg * reg)
+
+    return _sigmoid_box_lbfgs(obj, l, u, w0, max_iter)
+
 
 @jax.jit
 def _batched_slice_bounds(phis, W, rate, beta, l, LG, u):
@@ -372,24 +437,22 @@ class PoissonRateEstimator(RateEstimator):
                         reg * reg
                     )
         else:
-            mask = np.asarray(self.bucketized_counts) > 0
-            phis_raw = (self.varphis @ invG_half)[jnp.asarray(mask)]
-            tau = self.total_bucketized_time[jnp.asarray(mask)]
+            # static shapes: full bucket set (unvisited buckets have τ = 0,
+            # mathematically a no-op) and the fixed anchor grid — one
+            # compiled solve serves the whole sensing campaign
+            phis_raw = self.varphis @ invG_half
+            tau = self.total_bucketized_time
             if self.observations is not None:
                 obs_raw = self.anchor_points_emb @ invG_half
-                weights = self.anchor_weights
-                wmask = weights > 0
-
-                def objective(w):
-                    lam = jnp.clip(obs_raw @ w, 1e-12)
-                    reg = invG_half @ w
-                    return (
-                        -jnp.sum(
-                            jnp.where(wmask, weights * jnp.log(lam), 0.0)
-                        )  # weights are multiplicity counts
-                        + jnp.sum(tau * (phis_raw @ w))
-                        + 0.5 * self.s * jnp.sum(reg * reg)
-                    )
+                w0 = self._warm_start_w(G_half)
+                if w0 is None:
+                    w0 = jnp.full((self.get_m(),), 0.1, default_dtype())
+                w_star = _map_anchor_lbfgs(
+                    phis_raw, tau, obs_raw, self.anchor_weights, invG_half,
+                    jnp.asarray(self.s, default_dtype()), l, u, w0,
+                )
+                self.rate = invG_half @ w_star
+                return self.rate
             else:
 
                 def objective(w):
@@ -432,20 +495,14 @@ class PoissonRateEstimator(RateEstimator):
         l, Lambda, u = self.get_constraints()
         G_half, invG_half = self.cov(inverse=True)
         mask = jnp.asarray(np.asarray(self.bucketized_counts) > 0)
-        obs = self.total_bucketized_obs[mask]
-        phis_raw = (self.varphis @ invG_half)[mask]
-        tau = self.total_bucketized_time[mask]
-
-        def objective(w):
-            lam = jnp.clip(tau * (phis_raw @ w), 1e-12)
-            reg = invG_half @ w
-            return (
-                -jnp.sum(obs * jnp.log(lam))
-                + jnp.sum(tau * (phis_raw @ w))
-                + 0.5 * self.s * jnp.sum(reg * reg)
-            )
-
-        w_star = self._box_solve(objective, l, u, self._warm_start_w(G_half))
+        w0 = self._warm_start_w(G_half)
+        if w0 is None:
+            w0 = jnp.full((self.get_m(),), 0.1, default_dtype())
+        w_star = _map_bins_lbfgs(
+            self.varphis @ invG_half, self.total_bucketized_time,
+            self.total_bucketized_obs, mask, invG_half,
+            jnp.asarray(self.s, default_dtype()), l, u, w0,
+        )
         self.rate = invG_half @ w_star
         return self.rate
 
@@ -457,25 +514,25 @@ class PoissonRateEstimator(RateEstimator):
         l, Lambda, u = self.get_constraints()
         G_half, invG_half = self.cov(inverse=True)
         mask_np = np.asarray(self.bucketized_counts) > 0
-        mask = jnp.asarray(mask_np)
-        obs = self.total_bucketized_obs[mask]
-        phis_raw = (self.varphis @ invG_half)[mask]
         tau_all = np.asarray(self.total_bucketized_time)
-        variances = np.asarray(self.variances).copy()
+        # unvisited buckets: τ = obs = 0 → zero residual; variance slot set
+        # to 1 so the divide is well-defined (static shapes, see _wls_bins)
+        variances = np.ones_like(tau_all)
+        var_in = np.asarray(self.variances)
         for i in range(len(variances)):
             if mask_np[i]:
-                variances[i] = variances[i] * tau_all[i] * (
-                    self.variance_correction(variances[i] * tau_all[i])
+                variances[i] = var_in[i] * tau_all[i] * (
+                    self.variance_correction(var_in[i] * tau_all[i])
                 )
-        sel_var = jnp.asarray(variances[mask_np], default_dtype())
-        tau = jnp.asarray(tau_all[mask_np], default_dtype())
-
-        def objective(w):
-            r = (tau * (phis_raw @ w) - obs) / jnp.sqrt(sel_var)
-            reg = invG_half @ w
-            return jnp.sum(r * r) + 0.5 * self.s * jnp.sum(reg * reg)
-
-        w_star = self._box_solve(objective, l, u, self._warm_start_w(G_half))
+        w0 = self._warm_start_w(G_half)
+        if w0 is None:
+            w0 = jnp.full((self.get_m(),), 0.1, default_dtype())
+        w_star = _wls_bins_lbfgs(
+            self.varphis @ invG_half, self.total_bucketized_time,
+            self.total_bucketized_obs,
+            jnp.asarray(variances, default_dtype()), invG_half,
+            jnp.asarray(self.s, default_dtype()), l, u, w0,
+        )
         self.rate = invG_half @ w_star
         return self.rate
 
@@ -623,7 +680,6 @@ class PoissonRateEstimator(RateEstimator):
         W = jnp.zeros((mm, mm), default_dtype())
         if self.feedback == "count-record":
             mask_np = np.asarray(self.bucketized_counts) > 0
-            mask = jnp.asarray(mask_np)
             tau = np.asarray(self.total_bucketized_time)
             var = np.asarray(self.variances).copy()
             for i in range(len(var)):
@@ -632,9 +688,12 @@ class PoissonRateEstimator(RateEstimator):
                         var[i] * tau[i]
                     )
             if self.observations is not None:
-                varphis = self.varphis[mask]
-                Dw = jnp.asarray(tau[mask_np] / var[mask_np], default_dtype())
-                W = (varphis * Dw[:, None]).T @ varphis
+                # static shapes: unvisited buckets get weight 0 (τ = 0 there)
+                Dw = jnp.asarray(
+                    np.where(mask_np, tau / np.where(mask_np, var, 1.0), 0.0),
+                    default_dtype(),
+                )
+                W = (self.varphis * Dw[:, None]).T @ self.varphis
         elif self.feedback == "histogram" and len(self.variances_histogram) > 0:
             Dw = 1.0 / self._var_hist_padded()
             W = (self.phis * Dw[:, None]).T @ self.phis
