@@ -57,11 +57,13 @@ def main(n=16384, d=8, gamma=0.5, s=0.1, ntest=None):
     y = jnp.asarray(yh, jnp.float32)
     xtj = jnp.asarray(xt, jnp.float32)
 
-    for mode in ("single", "double"):
+    for mode, var_refine in (("single", 0), ("double", 0), ("double", 1)):
         k = KernelFunction(
             kernel_name="squared_exponential", gamma=gamma, d=d
         )
-        gp = GaussianProcess(kernel=k, s=s, d=d, precision=mode)
+        gp = GaussianProcess(
+            kernel=k, s=s, d=d, precision=mode, var_refine=var_refine
+        )
         t0 = time.perf_counter()
         gp.fit_gp(x, y)
         mu, sd = gp.mean_std(xtj)
@@ -70,8 +72,9 @@ def main(n=16384, d=8, gamma=0.5, s=0.1, ntest=None):
         wall = time.perf_counter() - t0
         mean_rel = np.max(np.abs(mu - mu64)) / np.max(np.abs(mu64))
         vrel = np.abs(sd**2 - var64) / np.maximum(var64, 1e-12)
+        tag = mode if not var_refine else f"{mode}+vr{var_refine}"
         print(
-            f"{mode:7s} [{wall:5.1f}s inc compile] "
+            f"{tag:10s} [{wall:5.1f}s inc compile] "
             f"mean rel err {mean_rel:.2e}   "
             f"var rel err max {np.max(vrel):.2e} med {np.median(vrel):.2e}",
             flush=True,

@@ -51,8 +51,13 @@ def chol_dense(K: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
     `fast=True` opts into the Pallas lower-syrk blocked factorization
     (ops/pallas_syrk.py): 55 ms net at n=16k vs XLA's 73 ms, backward error
     ~4e-6 — fine for MAP-style fits and preconditioners, not for the
-    accuracy-gated posterior pipeline. NaNs propagate on indefinite input
-    exactly like jnp.linalg.cholesky, so the jitter ladder composes."""
+    accuracy-gated posterior pipeline: through the predictive pipeline that
+    backward error amplifies to 2.6e-3 posterior-mean / 4.2e-2 max-variance
+    relative error at n=16k, and inside the full fit+predict program the
+    wall time is a wash (206 vs 206 ms — benchmarks/exp_fastchol.py), so
+    the XLA factorization stays the posterior default unconditionally.
+    NaNs propagate on indefinite input exactly like jnp.linalg.cholesky,
+    so the jitter ladder composes."""
     if fast and K.shape[0] >= 4096 and jax.default_backend() == "tpu":
         from stpy_tpu.ops.pallas_syrk import chol_blocked_syrk
 
@@ -101,7 +106,7 @@ def tri_solve(L: jnp.ndarray, b: jnp.ndarray, lower: bool = True) -> jnp.ndarray
     return jax.scipy.linalg.solve_triangular(L, b, lower=lower)
 
 
-def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 2048,
+def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 512,
                       precision=None) -> jnp.ndarray:
     """Lower-triangular solve L X = B with a WIDE RHS, reformulated so the
     work is almost entirely dense GEMMs (XLA's native TPU triangular solve
@@ -115,6 +120,11 @@ def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 2048,
     slower at n = t = 16k). Leaves (nb, nb) invert the diagonal block once
     and GEMM it into the RHS. Recursion happens at trace time (depth
     log₂(n/nb)), so the compiled program is a static DAG of GEMMs.
+
+    nb=512 measured fastest for the n=16k fit+predict pipeline on v5e
+    (207.7 ms vs 211.9 at nb=1024, 218.2 at nb=2048, 255.8 at nb=4096 —
+    benchmarks/exp_bench_opt2.py): smaller leaves cut the latency-bound
+    XLA leaf-inverse trisolves faster than the extra recursion levels cost.
 
     `precision` defaults to HIGH (bf16x3): the substitution GEMMs feed
     predictive-variance sums where this costs ≤0.8%% max relative variance
@@ -149,7 +159,7 @@ def _tri_rec(L, B, nb, precision):
     return jnp.concatenate([X1, X2], axis=0)
 
 
-def cho_solve_blocked(L: jnp.ndarray, b: jnp.ndarray, nb: int = 2048,
+def cho_solve_blocked(L: jnp.ndarray, b: jnp.ndarray, nb: int = 512,
                       precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """(L Lᵀ)⁻¹ b via two recursive blocked triangular solves.
 

@@ -43,7 +43,7 @@ class GaussianProcess(Estimator, RandomProcess):
         kernel_name="squared_exponential", diameter=1.0, groups=None,
         bounds=None, nu=1.5, kernel=None, d=1, power=2, lam=1.0,
         loss="squared", huber_delta=1.35, hyper="classical", B=1.0,
-        svr_eps=0.1, var_precision=None, precision="single",
+        svr_eps=0.1, var_precision=None, precision="single", var_refine=0,
     ):
         # precision of the predictive-variance triangular-solve GEMMs:
         # None -> tri_solve_blocked's HIGH default (bf16x3; measured at
@@ -59,6 +59,15 @@ class GaussianProcess(Estimator, RandomProcess):
         if precision not in ("single", "double"):
             raise ValueError(f"precision must be single|double, got {precision}")
         self._precision = precision
+        # var_refine > 0 (double mode only): replace the variance trisolve
+        # with the z-form W = K⁻¹K*ᵀ, iteratively refined var_refine times
+        # using chunked-compensated residual GEMMs (ops/compensated.py) and
+        # a double-float quadratic form. Breaks the ~1e-4 relative-variance
+        # floor of the trisolve path (the f32 GEMM-accumulator limit —
+        # benchmarks/exp_var2.py) at ~2x the predict cost per pass.
+        if var_refine and precision != "double":
+            raise ValueError("var_refine requires precision='double'")
+        self._var_refine = int(var_refine)
         self.s = s
         self.d = d
         self.x = None
@@ -135,18 +144,44 @@ class GaussianProcess(Estimator, RandomProcess):
                 alpha = alpha + cho_solve_blocked(res.L, r)
             return res.L, alpha, res.ok, res.jitter
 
-        def predict(L, alpha, x, xtest, params_dict):
+        def predict(L, alpha, x, xtest, params_dict, s):
             gamma, kappa = self._df_params(params_dict)
             Kh, Kl = gram_se_df(xtest, x, gamma, kappa)     # (t, n)
             mu = (jax.lax.dot(Kh, alpha, precision=HIP)
                   + jax.lax.dot(Kl, alpha, precision=HIP))
-            V = tri_solve_blocked(L, Kh.T, precision=HIP)   # (n, t)
             kss = self.kernel_object.diag(xtest, params_dict)
-            var = jnp.maximum(kss - jnp.sum(V * V, axis=0), 1e-30)
+            if self._var_refine == 0:
+                V = tri_solve_blocked(L, Kh.T, precision=HIP)   # (n, t)
+                var = jnp.maximum(kss - jnp.sum(V * V, axis=0), 1e-30)
+                return mu, jnp.sqrt(var)[:, None]
+            # refined z-form: W = (K + s²I)⁻¹ K*ᵀ in double-float, with the
+            # residual's deep-contraction GEMM compensated so the refinement
+            # floor is set by the df Gram, not the f32 accumulator
+            from stpy_tpu.ops.compensated import dot_diag_df, gemm_compensated
+            from stpy_tpu.ops.pallas_gram_df import _df_add, _two_sum
+
+            Th, Tl = gram_se_df(x, x, gamma, kappa)         # train Gram df
+            s2 = s * s
+            Wh = cho_solve_blocked(L, Kh.T)
+            Wl = jnp.zeros_like(Wh)
+            for _ in range(self._var_refine):
+                Ph, Pl = gemm_compensated(Th, Wh, chunk=512)
+                small = (jax.lax.dot(Th, Wl, precision=HIP)
+                         + jax.lax.dot(Tl, Wh, precision=HIP)
+                         + s2 * (Wh + Wl))
+                Rh, Rl = _two_sum(Kh.T, -Ph)
+                Rl = Rl + (Kl.T - Pl - small)
+                dW = cho_solve_blocked(L, Rh + Rl)
+                Wh, Wl = _df_add(Wh, Wl, dW, jnp.zeros_like(dW))
+            qh, ql = dot_diag_df(Kh.T, Kl.T, Wh, Wl)
+            var = jnp.maximum((kss - qh) - ql, 1e-30)
             return mu, jnp.sqrt(var)[:, None]
 
         self._fit_fn = jax.jit(fit)
-        self._predict_fn = jax.jit(predict)
+        _pjit = jax.jit(predict)
+        self._predict_fn = lambda L, A, x, xt, pd: _pjit(
+            L, A, x, xt, pd, jnp.asarray(self.s, x.dtype)
+        )
 
     def _build_jits(self):
         kernel = self.kernel_object

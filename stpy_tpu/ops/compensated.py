@@ -1,0 +1,116 @@
+"""Chunked-compensated GEMM: double-float-accurate matrix products on an
+f32 MXU.
+
+Why: an f32 GEMM's accuracy at large contraction depth is limited by its
+f32 ACCUMULATOR, not by the products — at k=16k the reduction error is
+~sqrt(k)*eps_f32 ~ 1e-5 relative, which is exactly the floor measured on
+the predictive-variance refinement paths (benchmarks/exp_var.py: refined
+z-form stalls at 1.7e-4 max var err). HIGHEST-precision products are
+f32-faithful, so splitting the contraction dimension into chunks and
+combining the per-chunk partial products with TwoSum compensation (an
+(hi, lo) running sum) drops the reduction error to
+~sqrt(chunk)*eps_f32 / n_chunks of the full sum — 1-2 orders below the
+plain GEMM at ~15-50%% extra wall time (the products still run on the MXU;
+the compensation is c extra VPU passes over the (m, n) output).
+
+This is the standard "blocked compensated summation" construction applied
+at the GEMM-schedule level instead of inside a kernel, so XLA keeps every
+FLOP-heavy piece on the MXU. The TwoSum intermediates are wrapped in
+optimization barriers (ops/pallas_gram_df.py:50 — the HLO algebraic
+simplifier otherwise cancels the error terms).
+
+No reference counterpart: the reference runs torch float64 end to end
+(e.g. stpy/continuous_processes/gauss_procc.py:152) and never needs
+compensated arithmetic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stpy_tpu.ops.pallas_gram_df import _make_eft
+
+_two_sum, _fast_two_sum, _two_prod, _df_add = _make_eft(True)
+
+
+def gemm_compensated(A: jnp.ndarray, B: jnp.ndarray, chunk: int = 512,
+                     precision=jax.lax.Precision.HIGHEST):
+    """(Ch, Cl) with Ch + Cl ≈ A @ B summed in double-float across
+    contraction chunks.
+
+    A: (m, k), B: (k, n), f32. The contraction dim is split into
+    ceil(k/chunk) chunks; each chunk's (m, n) partial product is a plain
+    XLA GEMM at `precision` (HIGHEST = f32-faithful products), and the
+    partials are folded into an (hi, lo) running sum with TwoSum. Returns
+    the unevaluated pair — callers that want a plain f32 result should use
+    Ch + Cl only at the final consumption point.
+    """
+    m, k = A.shape
+    k2, n = B.shape
+    assert k == k2, (A.shape, B.shape)
+    if k <= chunk:
+        return jax.lax.dot(A, B, precision=precision), jnp.zeros(
+            (m, n), A.dtype
+        )
+    pad = (-k) % chunk
+    if pad:
+        A = jnp.pad(A, ((0, 0), (0, pad)))
+        B = jnp.pad(B, ((0, pad), (0, 0)))
+    c = (k + pad) // chunk
+    Ac = jnp.moveaxis(A.reshape(m, c, chunk), 1, 0)      # (c, m, chunk)
+    Bc = B.reshape(c, chunk, n)                          # (c, chunk, n)
+
+    def body(carry, ab):
+        sh, sl = carry
+        a, b = ab
+        p = jax.lax.dot(a, b, precision=precision)
+        nh, e = _two_sum(sh, p)
+        return (nh, sl + e), None
+
+    (sh, sl), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((m, n), A.dtype), jnp.zeros((m, n), A.dtype)),
+        (Ac, Bc),
+    )
+    return sh, sl
+
+
+def df_gemm(Ah: jnp.ndarray, Al: jnp.ndarray, B: jnp.ndarray,
+            chunk: int = 512, precision=jax.lax.Precision.HIGHEST):
+    """(Ch, Cl) ≈ (Ah + Al) @ B for a double-float A against an f32 B.
+
+    The hi part goes through the compensated chunked GEMM; the lo part is
+    ~1e-8 of the hi scale, so a single plain f32 GEMM of Al @ B (error
+    ~1e-13 of the total) is folded into the lo accumulator.
+    """
+    sh, sl = gemm_compensated(Ah, B, chunk=chunk, precision=precision)
+    lo = jax.lax.dot(Al, B, precision=precision)
+    return _fast_two_sum(sh, sl + lo)
+
+
+def dot_diag_df(Ah: jnp.ndarray, Al: jnp.ndarray, Bh: jnp.ndarray,
+                Bl: jnp.ndarray):
+    """diag(Aᵀ B) for df A, B of shape (k, n): per-column compensated dot.
+
+    Products are TwoProd'd elementwise on the VPU (exact f32 splits) and
+    reduced over rows with a TwoSum scan — double-float accuracy for the
+    quadratic forms where predictive variance suffers catastrophic
+    cancellation (k** − k*ᵀK⁻¹k* with both terms O(1) and the difference
+    O(s²)). O(k·n) work, bandwidth-bound.
+    """
+    ph, pe = _two_prod(Ah, Bh)
+    pe = pe + Ah * Bl + Al * Bh
+
+    def body(carry, rows):
+        sh, sl = carry
+        h, e = rows
+        nh, ne = _two_sum(sh, h)
+        return (nh, ne + sl + e), None
+
+    (sh, sl), _ = jax.lax.scan(
+        body,
+        (jnp.zeros(Ah.shape[1], Ah.dtype), jnp.zeros(Ah.shape[1], Ah.dtype)),
+        (ph, pe),
+    )
+    return sh, sl
