@@ -22,11 +22,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from stpy_tpu.config import as_array, default_dtype
+from stpy_tpu.config import as_array, default_dtype, default_jitter
 from stpy_tpu.kernels import KernelFunction
 from stpy_tpu.linalg import (
     cho_solve,
     cho_solve_blocked,
+    chol_jittered,
     logdet_from_chol,
     safe_cholesky,
     tri_solve,
@@ -44,6 +45,7 @@ class GaussianProcess(Estimator, RandomProcess):
         bounds=None, nu=1.5, kernel=None, d=1, power=2, lam=1.0,
         loss="squared", huber_delta=1.35, hyper="classical", B=1.0,
         svr_eps=0.1, var_precision=None, precision="single", var_refine=0,
+        jitter_ladder=True,
     ):
         # precision of the predictive-variance triangular-solve GEMMs:
         # None -> tri_solve_blocked's HIGH default (bf16x3; measured at
@@ -68,6 +70,14 @@ class GaussianProcess(Estimator, RandomProcess):
         if var_refine and precision != "double":
             raise ValueError("var_refine requires precision='double'")
         self._var_refine = int(var_refine)
+        # jitter_ladder=False swaps safe_cholesky's escalating retry loop
+        # for a single fixed-jitter factorization (chol_jittered). The
+        # ladder's while_loop keeps the pre-jitter Gram live across
+        # retries, which pushes an n=32k fit past the 16 GB HBM of one v5e
+        # (benchmarks/exp_32k.py: fixed-jitter peak ≈ 12 GB → 613 ms fit,
+        # 920 ms fit + 16k predict). Trade-off: no automatic escalation on
+        # near-singular Grams — fit_status reports ok=False instead.
+        self._jitter_ladder = bool(jitter_ladder)
         self.s = s
         self.d = d
         self.x = None
@@ -193,10 +203,16 @@ class GaussianProcess(Estimator, RandomProcess):
             # triangle and the fused Gram is symmetric by construction —
             # skipping it saves two full HBM passes over the n x n matrix
             K = K + (s * s) * jnp.eye(n, dtype=K.dtype)
-            res = safe_cholesky(K)
-            alpha = cho_solve(res.L, y)
+            if self._jitter_ladder:
+                res = safe_cholesky(K)
+                L, ok, jitter = res.L, res.ok, res.jitter
+            else:
+                L = chol_jittered(K)
+                ok = jnp.all(jnp.isfinite(L))
+                jitter = jnp.asarray(default_jitter(K.dtype), K.dtype)
+            alpha = cho_solve(L, y)
             # solver status surfaced as data, not exceptions (SURVEY §5)
-            return res.L, alpha, res.ok, res.jitter
+            return L, alpha, ok, jitter
 
         def predict(L, alpha, x, xtest, params_dict):
             K_star = kernel.eval_params(params_dict, xtest, x)  # (t, n)

@@ -15,7 +15,7 @@ from stpy_tpu.parallel.blocked import (
     DistributedExactGP,
 )
 from stpy_tpu.ops.pallas_gram_matvec import gram_matvec, make_lazy_matvec
-from stpy_tpu.parallel.bbmm import evidence_value_and_grad_lazy
+from stpy_tpu.parallel.bbmm import evidence_value_and_grad_lazy, fit_evidence_lazy
 from stpy_tpu.ops.pallas_gram_matvec import (
     gram_matmat,
     make_lazy_matmat,

@@ -317,3 +317,19 @@ def test_composite_kernel_hyperopt(data1d):
     # both atoms' lengthscales were written back and are positive
     assert g0 > 0 and g1 > 0
     assert (g0, g1) != (2.0, 0.1)
+
+
+def test_fixed_jitter_fit_matches_ladder(data1d):
+    """jitter_ladder=False (chol_jittered fit — the 32k-on-one-chip memory
+    path, benchmarks/exp_32k.py) must match the ladder fit on a
+    well-conditioned problem and still surface fit_status."""
+    x, y, xt = data1d
+    gp_l = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp_f = GaussianProcess(gamma=0.5, s=0.1, d=1, jitter_ladder=False)
+    gp_l.fit_gp(x, y)
+    gp_f.fit_gp(x, y)
+    mu_l, sd_l = gp_l.mean_std(xt)
+    mu_f, sd_f = gp_f.mean_std(xt)
+    assert np.allclose(np.asarray(mu_l), np.asarray(mu_f), atol=1e-8)
+    assert np.allclose(np.asarray(sd_l), np.asarray(sd_f), atol=1e-8)
+    assert gp_f.fit_status["cholesky_ok"] is True

@@ -389,3 +389,44 @@ def test_sharded_lazy_matvec_cg_matches_dense():
     alpha, it, res = cg_solve(mv, y, tol=1e-10, maxiter=600)
     ref = jnp.linalg.solve(K, y)
     assert float(jnp.max(jnp.abs(alpha - ref))) < 1e-7
+
+
+def test_fit_evidence_lazy_improves_and_recovers_lengthscale():
+    """The matrix-free hyperopt driver (fit_evidence_lazy) must move
+    (gamma, noise) toward the dense-evidence optimum from a bad start —
+    the n>8k counterpart of Estimator.optimize_params_general."""
+    from stpy_tpu.kernels import functions as F
+    from stpy_tpu.parallel import fit_evidence_lazy
+
+    rng = np.random.default_rng(7)
+    n = 256
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    yv = jnp.asarray(
+        np.sin(3 * np.asarray(x)[:, :1]).ravel()
+        + 0.1 * rng.standard_normal(n)
+    )
+
+    def dense_nll(gamma, noise):
+        K = jnp.exp(-F.sq_dist(x / gamma, x / gamma) / 2)
+        A = K + noise**2 * jnp.eye(n)
+        L = jnp.linalg.cholesky(A)
+        a = jax.scipy.linalg.cho_solve((L, True), yv)
+        return float(0.5 * yv @ a + jnp.sum(jnp.log(jnp.diagonal(L)))
+                     + 0.5 * n * jnp.log(2 * jnp.pi))
+
+    g0, s0 = 1.5, 0.4
+    out = fit_evidence_lazy(
+        x, yv, gamma0=g0, noise0=s0, steps=40, lr=0.15, probes=128,
+        cg_tol=1e-8, cg_maxiter=400, probe_tol=1e-4, probe_maxiter=200,
+        tol=1e-3, key=jax.random.PRNGKey(2),
+    )
+    assert out["steps_run"] >= 5
+    # the fit must beat the start decisively on the DENSE evidence
+    assert dense_nll(out["gamma"], out["noise"]) < dense_nll(g0, s0) - 5.0
+    # and land near the dense grid optimum in log-space
+    gammas = np.geomspace(0.1, 2.0, 25)
+    dense_vals = [dense_nll(g, out["noise"]) for g in gammas]
+    g_star = float(gammas[int(np.argmin(dense_vals))])
+    assert abs(np.log(out["gamma"]) - np.log(g_star)) < abs(
+        np.log(g0) - np.log(g_star)
+    )

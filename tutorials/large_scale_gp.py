@@ -62,5 +62,17 @@ nll, grads = evidence_value_and_grad_lazy(
 )
 print(f"evidence: NLL/n = {float(nll)/n:.4f}")
 print("gradients:", {k_: round(float(v_), 3) for k_, v_ in grads.items()})
-print("(on TPU, the same three calls run at n = 16k / 65k / 65k — "
-      "see docs/DESIGN.md §2-3 for the measured numbers)")
+
+# ---- tier 4: full matrix-free hyperparameter FIT ----------------------------
+# log-space Adam over (gamma, noise) on the BBMM evidence — the n>8k
+# counterpart of gp.optimize_params (which autodiffs a dense Cholesky)
+from stpy_tpu.parallel import fit_evidence_lazy
+
+fit = fit_evidence_lazy(
+    x, y, gamma0=1.2, noise0=0.3, steps=30, lr=0.15, probes=64,
+    cg_tol=1e-6, cg_maxiter=400, probe_tol=1e-2, probe_maxiter=60,
+)
+print(f"lazy hyperfit: gamma {fit['gamma']:.3f}  noise {fit['noise']:.3f}  "
+      f"NLL/n {fit['nll']/n:.4f}  ({fit['steps_run']} steps)")
+print("(on TPU, the same calls run at n = 16k / 65k — "
+      "see docs/DESIGN.md §2-4 for the measured numbers)")
