@@ -67,11 +67,15 @@ def main(n=N, d=8, gamma=0.5, s2=0.01):
             return (1.0 - sh) - sl
         return f
 
-    for tag, f in [
+    import sys
+    variants = [
         ("D refines=1 chunk=512", make_path_D(1, 512)),
         ("D refines=2 chunk=512", make_path_D(2, 512)),
-        ("D refines=2 chunk=256", make_path_D(2, 256)),
-    ]:
+        ("D refines=1 chunk=256", make_path_D(1, 256)),
+    ]
+    if len(sys.argv) > 1:  # e.g. "256" -> only the chunk-256 variant
+        variants = [v for v in variants if sys.argv[1] in v[0]]
+    for tag, f in variants:
         g = jax.jit(f)
         ct, rt = time_jitted(g, Kh, Kl, reps=3)
         var = np.asarray(g(Kh, Kl), np.float64)

@@ -249,6 +249,58 @@ class IterativeGP:
 
         return matvec, M_inv
 
+
+    def optimize_params(self, optimize=("gamma", "noise"), steps=30,
+                        lr=0.1, probes=64, tol=1e-2, key=None,
+                        verbose=False, refit=True, **kwargs):
+        """Hyperparameter fit on the matrix-free evidence — the large-n
+        counterpart of GaussianProcess.optimize_params. Delegates to
+        `fit_evidence_lazy` (log-space Adam on BBMM gradients, O(n)
+        memory), writes the winners back into `kernel_object.params_dict`
+        (and `self.s` if "noise" is optimized), and refits.
+
+        Requires fit_gp to have been called (uses the stored x, y) and a
+        single-atom SE/ARD/Matern kernel (the lazy-matvec families).
+        """
+        from stpy_tpu.parallel.bbmm import fit_evidence_lazy
+
+        if getattr(self, "x", None) is None:
+            raise RuntimeError("call fit_gp before optimize_params")
+        ko = self.kernel_object
+        atoms = getattr(ko, "_atoms", None)
+        if not atoms or len(atoms) != 1:
+            raise NotImplementedError(
+                "lazy hyperopt supports single-atom SE/ARD/Matern kernels"
+            )
+        atom = atoms[0]
+        p = ko.params_dict["0"]
+        nu = atom.static.get("nu", 1.5)
+        if atom.name == "squared_exponential":
+            fam, gkey, nu = "se", "gamma", 1.0
+        elif atom.name == "ard":
+            fam, gkey, nu = "se", "ard_gamma", 1.0
+        elif atom.name == "matern" and nu in (0.5, 1.5, 2.5):
+            fam, gkey = "matern", "gamma"
+        else:
+            raise NotImplementedError(atom.name)
+        import numpy as _np
+        gamma0 = float(_np.asarray(p[gkey]).reshape(-1)[0])
+        out = fit_evidence_lazy(
+            self.x, jnp.asarray(self.y).reshape(-1), gamma0,
+            kappa0=float(p.get("kappa", 1.0)), noise0=float(self.s),
+            family=fam, nu=nu, optimize=optimize, steps=steps, lr=lr,
+            probes=probes, tol=tol, key=key, verbose=verbose, **kwargs,
+        )
+        if "gamma" in optimize:
+            p[gkey] = jnp.asarray(out["gamma"], jnp.asarray(self.y).dtype)
+        if "kappa" in optimize:
+            p["kappa"] = out["kappa"]
+        if "noise" in optimize:
+            self.s = out["noise"]
+        if refit:
+            self.fit_gp(self.x, self.y)
+        return out
+
     def fit_gp(self, x, y):
         x = as_array(x)
         y = as_array(y).reshape(-1, 1)

@@ -430,3 +430,36 @@ def test_fit_evidence_lazy_improves_and_recovers_lengthscale():
     assert abs(np.log(out["gamma"]) - np.log(g_star)) < abs(
         np.log(g0) - np.log(g_star)
     )
+
+
+def test_iterative_gp_optimize_params_lazy():
+    """IterativeGP.optimize_params — the matrix-free analogue of
+    GaussianProcess.optimize_params — must improve the evidence and write
+    winners back into the kernel params / noise."""
+    from stpy_tpu.kernels import KernelFunction
+    from stpy_tpu.parallel import IterativeGP
+
+    rng = np.random.default_rng(11)
+    n = 256
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    y = jnp.asarray(
+        np.sin(3 * np.asarray(x)[:, :1])
+        + 0.1 * rng.standard_normal((n, 1))
+    )
+    k = KernelFunction(kernel_name="squared_exponential", gamma=1.5, d=2)
+    gp = IterativeGP(k, s=0.4, lazy=True, tol=1e-8, maxiter=400)
+    gp.fit_gp(x, y)
+    out = gp.optimize_params(
+        steps=35, lr=0.15, probes=128, tol=1e-3,
+        cg_tol=1e-8, cg_maxiter=400, probe_tol=1e-4, probe_maxiter=200,
+        key=jax.random.PRNGKey(5),
+    )
+    # winners written back
+    assert float(k.params_dict["0"]["gamma"]) == pytest.approx(out["gamma"])
+    assert gp.s == pytest.approx(out["noise"])
+    # moved toward sane values from the bad start
+    assert out["gamma"] < 1.5
+    assert out["noise"] < 0.4
+    # refit posterior is usable
+    mu = gp.mean(x[:16])
+    assert np.all(np.isfinite(np.asarray(mu)))
