@@ -15,7 +15,21 @@ from stpy_tpu.parallel.blocked import (
     DistributedExactGP,
 )
 from stpy_tpu.ops.pallas_gram_matvec import gram_matvec, make_lazy_matvec
-from stpy_tpu.parallel.bbmm import evidence_value_and_grad_lazy, fit_evidence_lazy
+from stpy_tpu.parallel.bbmm import (
+    evidence_value_and_grad_general,
+    evidence_value_and_grad_lazy,
+    evidence_value_and_grad_sum,
+    fit_evidence_general,
+    fit_evidence_lazy,
+    fit_evidence_sum,
+)
+from stpy_tpu.parallel.lazy_kernel import (
+    fast_atoms,
+    make_chunked_matmat,
+    make_chunked_matvec,
+    make_sum_matmat,
+    make_sum_matvec,
+)
 from stpy_tpu.ops.pallas_gram_matvec import (
     gram_matmat,
     make_lazy_matmat,

@@ -106,7 +106,8 @@ class IterativeGP:
     chip."""
 
     def __init__(self, kernel_object, s=0.1, mesh=None, axis="tp",
-                 precond_block=2048, tol=1e-6, maxiter=500, lazy=False):
+                 precond_block=2048, tol=1e-6, maxiter=500, lazy=False,
+                 chunk=2048):
         self.kernel_object = kernel_object
         self.s = s
         self.mesh = mesh
@@ -115,51 +116,46 @@ class IterativeGP:
         self.tol = tol
         self.maxiter = maxiter
         self.lazy = lazy
+        self.chunk = chunk  # row-chunk of the general (any-kernel) matvec
         self.fitted = False
 
     def _lazy_matvec_or_none(self, x):
-        """Matrix-free (K + σ²I)v via the fused Pallas Gram·v kernel
-        (ops/pallas_gram_matvec.py) — O(n) memory, n beyond HBM. Available
-        for single-atom SE/ARD/Matérn(ν ∈ {½,3/2,5/2}) kernels."""
-        from stpy_tpu.ops.pallas_gram_matvec import make_lazy_matvec
+        """Matrix-free (K + σ²I)v — O(n·chunk) memory at most, n beyond HBM.
+
+        Fast tier: sums of fused-Pallas atoms (SE/ARD/Matérn ν ∈
+        {½,3/2,5/2}, optionally on coordinate groups) run as one fused
+        Gram·v pass per atom. Any OTHER kernel (products, additive groups,
+        laplace, …) falls back to the row-chunked general matvec —
+        `lazy=True` now covers the full kernel algebra (parity:
+        stpy/kernels.py:76-94,136-159 at matrix-free scale)."""
+        from stpy_tpu.parallel.lazy_kernel import (
+            atom_params, fast_atoms, make_chunked_matvec, make_sum_matvec,
+        )
 
         ko = self.kernel_object
-        atoms = getattr(ko, "_atoms", None)
-        if not atoms or len(atoms) != 1:
-            return None
-        atom = atoms[0]
-        p = ko.params_dict["0"]
-        kappa = p.get("kappa", 1.0)
-        nu = atom.static.get("nu", 1.5)
-        if atom.name == "squared_exponential":
-            fam, gamma, nu = "se", p["gamma"], 1.0
-        elif atom.name == "ard":
-            fam, gamma, nu = "se", p["ard_gamma"], 1.0
-        elif atom.name == "matern" and nu in (0.5, 1.5, 2.5):
-            fam, gamma = "matern", p["gamma"]
-        else:
-            return None
-        return make_lazy_matvec(
-            x, family=fam, gamma=gamma, kappa=kappa, nu=nu, noise=self.s
+        atoms = fast_atoms(ko)
+        if atoms is None:
+            return make_chunked_matvec(ko, x, noise=self.s,
+                                       chunk=self.chunk)
+        gk = [atom_params(ko, a) for a in atoms]
+        return make_sum_matvec(
+            x, atoms, [g for g, _ in gk], [k for _, k in gk], noise=self.s
         )
 
     def _lazy_matmat(self, x):
         """Block-RHS companion of the lazy matvec (same kernel config)."""
-        from stpy_tpu.ops.pallas_gram_matvec import make_lazy_matmat
+        from stpy_tpu.parallel.lazy_kernel import (
+            atom_params, fast_atoms, make_chunked_matmat, make_sum_matmat,
+        )
 
         ko = self.kernel_object
-        atom = ko._atoms[0]
-        p = ko.params_dict["0"]
-        kappa = p.get("kappa", 1.0)
-        nu = atom.static.get("nu", 1.5)
-        if atom.name == "squared_exponential":
-            fam, gamma, nu = "se", p["gamma"], 1.0
-        elif atom.name == "ard":
-            fam, gamma, nu = "se", p["ard_gamma"], 1.0
-        else:
-            fam, gamma = "matern", p["gamma"]
-        return make_lazy_matmat(
-            x, family=fam, gamma=gamma, kappa=kappa, nu=nu, noise=self.s
+        atoms = fast_atoms(ko)
+        if atoms is None:
+            return make_chunked_matmat(ko, x, noise=self.s,
+                                       chunk=self.chunk)
+        gk = [atom_params(ko, a) for a in atoms]
+        return make_sum_matmat(
+            x, atoms, [g for g, _ in gk], [k for _, k in gk], noise=self.s
         )
 
     def _matvec_factory(self, x):
@@ -170,12 +166,7 @@ class IterativeGP:
         s2 = self.s**2
 
         if self.lazy and self.mesh is None:
-            mv = self._lazy_matvec_or_none(x)
-            if mv is None:
-                raise NotImplementedError(
-                    "lazy=True needs a single-atom SE/ARD/Matérn kernel"
-                )
-            return mv, None
+            return self._lazy_matvec_or_none(x), None
 
         if self.mesh is None:
             K = ko.gram(x) + s2 * jnp.eye(n, dtype=x.dtype)
@@ -254,49 +245,83 @@ class IterativeGP:
                         lr=0.1, probes=64, tol=1e-2, key=None,
                         verbose=False, refit=True, **kwargs):
         """Hyperparameter fit on the matrix-free evidence — the large-n
-        counterpart of GaussianProcess.optimize_params. Delegates to
-        `fit_evidence_lazy` (log-space Adam on BBMM gradients, O(n)
-        memory), writes the winners back into `kernel_object.params_dict`
-        (and `self.s` if "noise" is optimized), and refits.
+        counterpart of GaussianProcess.optimize_params. Writes the winners
+        back into `kernel_object.params_dict` (and `self.s` if "noise" is
+        optimized), and refits.
 
-        Requires fit_gp to have been called (uses the stored x, y) and a
-        single-atom SE/ARD/Matern kernel (the lazy-matvec families).
+        Dispatch (parity: the reference's hyperopt works for any kernel,
+        stpy/estimator.py:141-223):
+          * sums of fused atoms (SE/ARD/Matérn, incl. `k1 + k2` algebra and
+            coordinate groups) → `fit_evidence_sum` — per-atom (γ_a, κ_a)
+            with ARD vectors optimized PER-DIM and written back as vectors;
+          * anything else (products, additive groups, laplace, …) →
+            `fit_evidence_general` — autodiff gradients through the
+            row-chunked Gram over every gamma/kappa leaf.
+
+        Requires fit_gp to have been called (uses the stored x, y).
         """
-        from stpy_tpu.parallel.bbmm import fit_evidence_lazy
+        import numpy as _np
+
+        from stpy_tpu.parallel.bbmm import (
+            fit_evidence_general, fit_evidence_sum,
+        )
+        from stpy_tpu.parallel.lazy_kernel import atom_params, fast_atoms
 
         if getattr(self, "x", None) is None:
             raise RuntimeError("call fit_gp before optimize_params")
         ko = self.kernel_object
-        atoms = getattr(ko, "_atoms", None)
-        if not atoms or len(atoms) != 1:
-            raise NotImplementedError(
-                "lazy hyperopt supports single-atom SE/ARD/Matern kernels"
+        dt = jnp.asarray(self.y).dtype
+        yv = jnp.asarray(self.y).reshape(-1)
+        atoms = fast_atoms(ko)
+
+        if atoms is not None:
+            desc = tuple((a.family, a.nu, a.group) for a in atoms)
+            gk = [atom_params(ko, a) for a in atoms]
+            out = fit_evidence_sum(
+                self.x, yv, desc,
+                [g for g, _ in gk], [float(k) for _, k in gk],
+                float(self.s), optimize=optimize, steps=steps, lr=lr,
+                probes=probes, tol=tol, key=key, verbose=verbose, **kwargs,
             )
-        atom = atoms[0]
-        p = ko.params_dict["0"]
-        nu = atom.static.get("nu", 1.5)
-        if atom.name == "squared_exponential":
-            fam, gkey, nu = "se", "gamma", 1.0
-        elif atom.name == "ard":
-            fam, gkey, nu = "se", "ard_gamma", 1.0
-        elif atom.name == "matern" and nu in (0.5, 1.5, 2.5):
-            fam, gkey = "matern", "gamma"
+            for a, g_new, k_new in zip(atoms, out["gammas"], out["kappas"]):
+                p = ko.params_dict[str(a.index)]
+                if "gamma" in optimize:
+                    g_arr = jnp.asarray(_np.asarray(g_new), dt)
+                    if a.gamma_key == "ard_gamma":
+                        stored = jnp.asarray(p[a.gamma_key]).reshape(-1)
+                        if a.group is not None:
+                            # scatter the fitted slice into the full-d vector
+                            g_fit = jnp.broadcast_to(
+                                g_arr.reshape(-1), (len(a.group),)
+                            )
+                            stored = stored.at[jnp.asarray(a.group)].set(
+                                g_fit.astype(dt)
+                            )
+                        else:
+                            stored = jnp.broadcast_to(
+                                g_arr.reshape(-1), stored.shape
+                            ).astype(dt)
+                        p[a.gamma_key] = stored
+                    else:
+                        p[a.gamma_key] = g_arr.reshape(())
+                if "kappa" in optimize:
+                    p["kappa"] = jnp.asarray(k_new, dt)
+            if "noise" in optimize:
+                self.s = out["noise"]
+            if len(atoms) == 1:  # single-atom compat aliases
+                out = {**out, "gamma": out["gammas"][0],
+                       "kappa": out["kappas"][0]}
         else:
-            raise NotImplementedError(atom.name)
-        import numpy as _np
-        gamma0 = float(_np.asarray(p[gkey]).reshape(-1)[0])
-        out = fit_evidence_lazy(
-            self.x, jnp.asarray(self.y).reshape(-1), gamma0,
-            kappa0=float(p.get("kappa", 1.0)), noise0=float(self.s),
-            family=fam, nu=nu, optimize=optimize, steps=steps, lr=lr,
-            probes=probes, tol=tol, key=key, verbose=verbose, **kwargs,
-        )
-        if "gamma" in optimize:
-            p[gkey] = jnp.asarray(out["gamma"], jnp.asarray(self.y).dtype)
-        if "kappa" in optimize:
-            p["kappa"] = out["kappa"]
-        if "noise" in optimize:
-            self.s = out["noise"]
+            out = fit_evidence_general(
+                ko, self.x, yv, noise0=float(self.s), optimize=optimize,
+                steps=steps, lr=lr, probes=probes, tol=tol, key=key,
+                verbose=verbose, chunk=self.chunk, **kwargs,
+            )
+            for ak, sub in out["params"].items():
+                for pk, val in sub.items():
+                    ko.params_dict[ak][pk] = jnp.asarray(val, dt)
+            if "noise" in optimize:
+                self.s = out["noise"]
         if refit:
             self.fit_gp(self.x, self.y)
         return out

@@ -1,0 +1,371 @@
+"""Matrix-free tier generality: ARD lengthscales and kernel algebra
+(VERDICT r2 items 1-2).
+
+The reference's hyperopt/evidence work for ANY kernel the library can
+build (stpy/estimator.py:141-223, stpy/kernels.py:76-94,136-159,552);
+these tests pin the same generality onto the lazy/BBMM tier:
+  * per-dim (ARD) evidence gradients match dense autodiff;
+  * `IterativeGP.optimize_params` PRESERVES an ARD vector and recovers
+    distinct lengthscales on anisotropic data (the r2 silent-collapse bug);
+  * sums `k1 + k2` of fused atoms: lazy matvec + evidence grads + hyperfit;
+  * arbitrary kernels (products, laplace) via the chunked general tier.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stpy_tpu.kernels import KernelFunction
+from stpy_tpu.kernels import functions as F
+
+
+def _dense_nll_ard(x, yv, gvec, kappa, noise):
+    K = kappa * jnp.exp(-F.sq_dist(x / gvec, x / gvec) / 2)
+    n = yv.shape[0]
+    A = K + noise**2 * jnp.eye(n)
+    L = jnp.linalg.cholesky(A)
+    a = jax.scipy.linalg.cho_solve((L, True), yv)
+    return (0.5 * yv @ a + jnp.sum(jnp.log(jnp.diagonal(L)))
+            + 0.5 * n * jnp.log(2 * jnp.pi))
+
+
+def test_lazy_evidence_ard_grads_match_dense_autodiff():
+    from stpy_tpu.parallel.bbmm import evidence_value_and_grad_lazy
+
+    rng = np.random.default_rng(31)
+    n, d = 180, 3
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)))
+    yv = jnp.asarray(np.sin(3 * np.asarray(x)[:, 0])
+                     + 0.1 * rng.standard_normal(n))
+    g0 = jnp.asarray([0.4, 0.9, 1.7])
+    k0, s0 = 1.3, 0.4
+
+    val_ref = float(_dense_nll_ard(x, yv, g0, k0, s0))
+    gr = jax.grad(
+        lambda g, k, s: _dense_nll_ard(x, yv, g, k, s), argnums=(0, 1, 2)
+    )(g0, k0, s0)
+
+    nll, grads = evidence_value_and_grad_lazy(
+        x, yv, g0, k0, s0, probes=600, cg_tol=1e-10, cg_maxiter=600,
+        lanczos_iters=60,
+    )
+    assert abs(float(nll) - val_ref) / abs(val_ref) < 0.02
+    g_est = np.asarray(grads["gamma"])
+    g_ref = np.asarray(gr[0])
+    assert g_est.shape == (d,)
+    for c in range(d):
+        denom = max(abs(g_ref[c]), 1.0)
+        assert abs(g_est[c] - g_ref[c]) / denom < 0.06, (c, g_est, g_ref)
+    for name, est, ref in (("kappa", grads["kappa"], gr[1]),
+                           ("noise", grads["noise"], gr[2])):
+        denom = max(abs(float(ref)), 1.0)
+        assert abs(float(est) - float(ref)) / denom < 0.06, name
+
+
+def test_iterative_gp_optimize_params_preserves_ard_vector():
+    """The r2 bug repro: optimize_params on an ARD kernel must keep a
+    per-dim vector (NOT collapse to a scalar) and recover distinct
+    lengthscales on anisotropic data."""
+    from stpy_tpu.parallel import IterativeGP
+
+    rng = np.random.default_rng(11)
+    n = 300
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 3)))
+    # y depends strongly on dim 0 (short scale), weakly on dim 2 (long)
+    y = jnp.asarray(
+        np.sin(6 * np.asarray(x)[:, :1])
+        + 0.2 * np.asarray(x)[:, 2:3]
+        + 0.05 * rng.standard_normal((n, 1))
+    )
+    k = KernelFunction(kernel_name="ard", ard_gamma=[0.2, 1.0, 3.0], d=3)
+    gp = IterativeGP(k, s=0.3, lazy=True, tol=1e-8, maxiter=400)
+    gp.fit_gp(x, y)
+    out = gp.optimize_params(
+        steps=40, lr=0.15, probes=128, tol=1e-3,
+        cg_tol=1e-8, cg_maxiter=400, probe_tol=1e-4, probe_maxiter=200,
+        key=jax.random.PRNGKey(5),
+    )
+    fitted = np.asarray(k.params_dict["0"]["ard_gamma"]).reshape(-1)
+    # still a 3-vector with DISTINCT entries (not an overwritten scalar)
+    assert fitted.shape == (3,)
+    assert np.std(fitted) > 1e-3, fitted
+    # anisotropy direction recovered: dim 0 needs a shorter lengthscale
+    # than dim 2 (which barely matters)
+    assert fitted[0] < fitted[2], fitted
+    mu = gp.mean(x[:16])
+    assert np.all(np.isfinite(np.asarray(mu)))
+
+
+def test_lazy_evidence_sum_kernel_grads_match_dense_autodiff():
+    from stpy_tpu.parallel.bbmm import evidence_value_and_grad_sum
+
+    rng = np.random.default_rng(13)
+    n = 160
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    yv = jnp.asarray(np.sin(3 * np.asarray(x)[:, 0])
+                     + 0.1 * rng.standard_normal(n))
+    g1, k1, g2, k2, s0 = 0.5, 1.2, 1.1, 0.7, 0.35
+
+    def dense_nll(ga, ka, gb, kb, s):
+        sq = F.sq_dist(x / ga, x / ga)
+        Ka = ka * jnp.exp(-sq / 2)
+        r = jnp.sqrt(F.sq_dist(x / gb, x / gb) + 1e-30)
+        kk = np.sqrt(3.0) * r
+        Kb = kb * (1 + kk) * jnp.exp(-kk)
+        A = Ka + Kb + s**2 * jnp.eye(n)
+        L = jnp.linalg.cholesky(A)
+        a = jax.scipy.linalg.cho_solve((L, True), yv)
+        return (0.5 * yv @ a + jnp.sum(jnp.log(jnp.diagonal(L)))
+                + 0.5 * n * jnp.log(2 * jnp.pi))
+
+    gr = jax.grad(dense_nll, argnums=(0, 1, 2, 3, 4))(g1, k1, g2, k2, s0)
+    desc = (("se", 1.0, None), ("matern", 1.5, None))
+    nll, grads = evidence_value_and_grad_sum(
+        x, yv, desc, [g1, g2], [k1, k2], s0,
+        probes=600, cg_tol=1e-10, cg_maxiter=600, lanczos_iters=60,
+    )
+    ests = [grads["gammas"][0], grads["kappas"][0],
+            grads["gammas"][1], grads["kappas"][1], grads["noise"]]
+    for name, est, ref in zip(
+        ("g1", "k1", "g2", "k2", "noise"), ests, gr
+    ):
+        denom = max(abs(float(ref)), 1.0)
+        assert abs(float(est) - float(ref)) / denom < 0.06, (
+            name, float(est), float(ref))
+    val_ref = float(dense_nll(g1, k1, g2, k2, s0))
+    assert abs(float(nll) - val_ref) / abs(val_ref) < 0.02
+
+
+def test_iterative_gp_sum_kernel_fit_and_hyperfit():
+    """k_se + k_matern: lazy CG fit matches the dense GP, and
+    optimize_params improves the dense evidence (VERDICT item 2 done-bar)."""
+    from stpy_tpu.models.exact_gp import GaussianProcess
+    from stpy_tpu.parallel import IterativeGP
+
+    rng = np.random.default_rng(23)
+    n = 240
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x)[:, :1])
+                    + 0.1 * rng.standard_normal((n, 1)))
+
+    def mk(gamma_se, gamma_mat):
+        return (
+            KernelFunction(kernel_name="squared_exponential",
+                           gamma=gamma_se, d=2)
+            + KernelFunction(kernel_name="matern", gamma=gamma_mat,
+                             nu=1.5, d=2)
+        )
+
+    k = mk(0.5, 0.8)
+    ref = GaussianProcess(kernel=mk(0.5, 0.8), s=0.2)
+    ref.fit_gp(x, y)
+    mu_ref, _ = ref.mean_std(x[:32])
+
+    gp = IterativeGP(k, s=0.2, lazy=True, tol=1e-10, maxiter=800)
+    gp.fit_gp(x, y)
+    mu = gp.mean(x[:32])
+    assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-6
+
+    # hyperfit from a bad start must improve the dense evidence
+    k_bad = mk(2.0, 2.5)
+    gp2 = IterativeGP(k_bad, s=0.4, lazy=True, tol=1e-8, maxiter=400)
+    gp2.fit_gp(x, y)
+
+    def dense_nll(kern, s):
+        gp_d = GaussianProcess(kernel=kern, s=s)
+        gp_d.x, gp_d.y = x, y
+        return float(gp_d.log_marginal_params(
+            kern, kern.params_dict, jnp.asarray(s)))
+
+    before = dense_nll(mk(2.0, 2.5), 0.4)
+    out = gp2.optimize_params(
+        steps=30, lr=0.15, probes=128, tol=1e-3, cg_tol=1e-8,
+        cg_maxiter=400, probe_tol=1e-4, probe_maxiter=200,
+        key=jax.random.PRNGKey(3),
+    )
+    g_se = float(k_bad.params_dict["0"]["gamma"])
+    g_mat = float(k_bad.params_dict["1"]["gamma"])
+    after = dense_nll(mk(g_se, g_mat), gp2.s)
+    assert after < before - 1.0, (before, after)
+    assert out["steps_run"] >= 5
+
+
+def test_chunked_matvec_matches_dense_any_kernel():
+    from stpy_tpu.parallel.lazy_kernel import (
+        make_chunked_matmat, make_chunked_matvec,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 150
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    v = jnp.asarray(rng.standard_normal(n))
+    V = jnp.asarray(rng.standard_normal((n, 4)))
+
+    # product kernel — outside the fused-atom families
+    k = (KernelFunction(kernel_name="squared_exponential", gamma=0.6, d=2)
+         * KernelFunction(kernel_name="linear", d=2))
+    K = k.gram(x)
+    s = 0.3
+    mv = make_chunked_matvec(k, x, noise=s, chunk=64)
+    mm = make_chunked_matmat(k, x, noise=s, chunk=64)
+    ref_v = K @ v + s * s * v
+    assert float(jnp.max(jnp.abs(mv(v) - ref_v))) < 1e-8
+    ref_V = K @ V + s * s * V
+    assert float(jnp.max(jnp.abs(mm(V) - ref_V))) < 1e-8
+
+
+def test_general_evidence_grads_product_kernel():
+    from stpy_tpu.parallel.bbmm import evidence_value_and_grad_general
+
+    rng = np.random.default_rng(37)
+    n = 140
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    yv = jnp.asarray(np.sin(3 * np.asarray(x)[:, 0])
+                     + 0.1 * rng.standard_normal(n))
+    k = (KernelFunction(kernel_name="squared_exponential", gamma=0.7, d=2)
+         * KernelFunction(kernel_name="matern", gamma=1.2, nu=2.5, d=2))
+
+    def dense_nll(g0, g1, s):
+        sq0 = F.sq_dist(x / g0, x / g0)
+        K0 = jnp.exp(-sq0 / 2)
+        r = jnp.sqrt(F.sq_dist(x / g1, x / g1) + 1e-30)
+        kk = np.sqrt(5.0) * r
+        K1 = (1 + kk + kk * kk / 3) * jnp.exp(-kk)
+        A = K0 * K1 + s**2 * jnp.eye(n)
+        L = jnp.linalg.cholesky(A)
+        a = jax.scipy.linalg.cho_solve((L, True), yv)
+        return (0.5 * yv @ a + jnp.sum(jnp.log(jnp.diagonal(L)))
+                + 0.5 * n * jnp.log(2 * jnp.pi))
+
+    s0 = 0.35
+    gr = jax.grad(dense_nll, argnums=(0, 1, 2))(0.7, 1.2, s0)
+    _, grads = evidence_value_and_grad_general(
+        k, x, yv, noise=s0, chunk=64, probes=500, cg_tol=1e-10,
+        cg_maxiter=600, probe_tol=1e-8, probe_maxiter=600,
+        compute_value=False,
+    )
+    ests = (grads["params"]["0"]["gamma"], grads["params"]["1"]["gamma"],
+            grads["noise"])
+    for name, est, ref in zip(("g0", "g1", "noise"), ests, gr):
+        denom = max(abs(float(ref)), 1.0)
+        assert abs(float(est) - float(ref)) / denom < 0.06, (
+            name, float(est), float(ref))
+
+
+def test_iterative_gp_general_kernel_hyperfit_product():
+    """Product kernel hyperfit through IterativeGP.optimize_params (the
+    general chunked tier): evidence must improve, params written back."""
+    from stpy_tpu.models.exact_gp import GaussianProcess
+    from stpy_tpu.parallel import IterativeGP
+
+    rng = np.random.default_rng(41)
+    n = 200
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(x)[:, :1])
+                    + 0.1 * rng.standard_normal((n, 1)))
+
+    def mk(g0, g1):
+        return (KernelFunction(kernel_name="squared_exponential",
+                               gamma=g0, d=2)
+                * KernelFunction(kernel_name="matern", gamma=g1, nu=1.5,
+                                 d=2))
+
+    k = mk(2.0, 2.0)
+    gp = IterativeGP(k, s=0.4, lazy=True, tol=1e-8, maxiter=400, chunk=64)
+    gp.fit_gp(x, y)
+
+    def dense_nll(kern, s):
+        g = GaussianProcess(kernel=kern, s=s)
+        g.x, g.y = x, y
+        return float(g.log_marginal_params(kern, kern.params_dict,
+                                           jnp.asarray(s)))
+
+    before = dense_nll(mk(2.0, 2.0), 0.4)
+    gp.optimize_params(
+        steps=25, lr=0.15, probes=64, tol=1e-3, cg_tol=1e-8,
+        cg_maxiter=400, probe_tol=1e-4, probe_maxiter=300,
+        key=jax.random.PRNGKey(9),
+    )
+    g0 = float(k.params_dict["0"]["gamma"])
+    g1 = float(k.params_dict["1"]["gamma"])
+    after = dense_nll(mk(g0, g1), gp.s)
+    assert after < before - 1.0, (before, after)
+    assert (g0, g1) != (2.0, 2.0)
+
+
+def test_iterative_gp_additive_groups_kernel_lazy():
+    """Additive-over-groups ARD kernel through the lazy tier (general
+    chunked matvec): fit matches dense, hyperfit improves the evidence
+    (VERDICT r2 item 2 done-bar)."""
+    from stpy_tpu.models.exact_gp import GaussianProcess
+    from stpy_tpu.parallel import IterativeGP
+
+    rng = np.random.default_rng(47)
+    n = 200
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(x)[:, :1])
+                    + 0.3 * np.asarray(x)[:, 1:2]
+                    + 0.1 * rng.standard_normal((n, 1)))
+
+    def mk(g0, g1):
+        return KernelFunction(kernel_name="ard", groups=[[0], [1]],
+                              ard_gamma=[g0, g1], d=2)
+
+    k = mk(0.6, 0.9)
+    ref = GaussianProcess(kernel=mk(0.6, 0.9), s=0.2)
+    ref.fit_gp(x, y)
+    mu_ref, _ = ref.mean_std(x[:24])
+
+    gp = IterativeGP(k, s=0.2, lazy=True, tol=1e-10, maxiter=800, chunk=64)
+    gp.fit_gp(x, y)
+    mu = gp.mean(x[:24])
+    assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-6
+
+    def dense_nll(kern, s):
+        g = GaussianProcess(kernel=kern, s=s)
+        g.x, g.y = x, y
+        return float(g.log_marginal_params(kern, kern.params_dict,
+                                           jnp.asarray(s)))
+
+    k_bad = mk(3.0, 3.0)
+    gp2 = IterativeGP(k_bad, s=0.4, lazy=True, tol=1e-8, maxiter=400,
+                      chunk=64)
+    gp2.fit_gp(x, y)
+    before = dense_nll(mk(3.0, 3.0), 0.4)
+    gp2.optimize_params(
+        steps=25, lr=0.15, probes=64, tol=1e-3, cg_tol=1e-8,
+        cg_maxiter=400, probe_tol=1e-4, probe_maxiter=300,
+        key=jax.random.PRNGKey(13),
+    )
+    gv = np.asarray(k_bad.params_dict["0"]["ard_gamma"]).reshape(-1)
+    after = dense_nll(mk(float(gv[0]), float(gv[1])), gp2.s)
+    assert after < before - 1.0, (before, after)
+
+
+def test_fit_evidence_lazy_ard_recovers_anisotropy():
+    """fit_evidence_lazy with a vector gamma0 optimizes per-dim and beats
+    an isotropic fit on anisotropic data (dense-evidence comparison)."""
+    from stpy_tpu.parallel import fit_evidence_lazy
+
+    rng = np.random.default_rng(17)
+    n = 256
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    # short scale in dim 0, dim 1 pure noise-dimension
+    yv = jnp.asarray(np.sin(6 * np.asarray(x)[:, 0])
+                     + 0.05 * rng.standard_normal(n))
+
+    out = fit_evidence_lazy(
+        x, yv, gamma0=np.array([1.0, 1.0]), noise0=0.3,
+        steps=40, lr=0.15, probes=128, cg_tol=1e-8, cg_maxiter=400,
+        probe_tol=1e-4, probe_maxiter=200, tol=1e-3,
+        key=jax.random.PRNGKey(2),
+    )
+    g = np.asarray(out["gamma"]).reshape(-1)
+    assert g.shape == (2,)
+    # relevant dim gets the shorter lengthscale
+    assert g[0] < g[1], g
+    val_ard = float(_dense_nll_ard(x, yv, jnp.asarray(g), 1.0,
+                                   out["noise"]))
+    val_start = float(_dense_nll_ard(x, yv, jnp.ones(2), 1.0, 0.3))
+    assert val_ard < val_start - 5.0
