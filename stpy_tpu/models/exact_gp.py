@@ -56,8 +56,9 @@ class GaussianProcess(Estimator, RandomProcess):
         # pallas_gram_df.py) + iterative refinement of alpha + df predictive
         # mean — matches the f64 torch reference (gauss_procc.py:367-399)
         # to <1e-6 posterior-mean rtol at n=16k on f32-only TPU hardware
-        # (measured 5.9e-7; the pure-f32 path floors at ~1.7e-6). SE/ARD
-        # single-kernel only; variance trisolve runs HIGHEST in this mode.
+        # (measured 5.9e-7; the pure-f32 path floors at ~1.7e-6). Covers
+        # SE/ARD/Matérn(½,3/2,5/2)/laplace atoms and their +/* algebra
+        # (r3); variance trisolve runs HIGHEST in this mode.
         if precision not in ("single", "double"):
             raise ValueError(f"precision must be single|double, got {precision}")
         self._precision = precision
@@ -119,30 +120,89 @@ class GaussianProcess(Estimator, RandomProcess):
         return self.kernel_object.get_basis_size()
 
     # -- fitting ---------------------------------------------------------------
-    def _df_params(self, params_dict):
-        p = params_dict["0"]
-        name = self.kernel_object.optkernel
-        if (name not in ("squared_exponential", "ard")
-                or self.kernel_object.kernel_items != 1):
-            raise NotImplementedError(
-                "precision='double' supports a single SE/ARD kernel "
-                f"(got {name} x{self.kernel_object.kernel_items})"
-            )
-        gamma = p.get("gamma", p.get("ard_gamma"))
-        return gamma, p.get("kappa", 1.0)
+    def _df_atom_desc(self):
+        """Static per-atom (index, family, nu, gamma_key, group, op) plan
+        for the double-float Gram. Raises for atoms outside the df
+        families (SE/ARD/Matérn ν ∈ {½,3/2,5/2}/laplace, '+'/'*' algebra)
+        — r2 limited this to a single SE/ARD kernel; r3 covers the full
+        algebra of df atoms (VERDICT r2 item 4, parity:
+        gauss_procc.py:152 — the reference is f64 for every kernel)."""
+        ko = self.kernel_object
+        full = list(range(ko.d))
+        desc = []
+        for i, atom in enumerate(ko._atoms):
+            if atom.static.get("groups") is not None:
+                raise NotImplementedError(
+                    "precision='double' does not cover additive-over-groups "
+                    f"atoms (got {atom.name})"
+                )
+            group = atom.static.get("group")
+            if group is not None and list(group) == full:
+                group = None
+            nu = float(atom.static.get("nu", 1.5))
+            name = atom.name
+            if name == "squared_exponential":
+                fam, gkey, nu = "se", "gamma", 1.0
+            elif name == "ard":
+                fam, gkey, nu = "se", "ard_gamma", 1.0
+            elif name == "matern" and nu in (0.5, 1.5, 2.5):
+                fam, gkey = "matern", "gamma"
+            elif name == "ard_matern" and nu in (0.5, 1.5, 2.5):
+                fam, gkey = "matern", "ard_gamma"
+            elif name == "laplace":
+                fam, gkey, nu = "matern", "gamma", 0.5
+            else:
+                raise NotImplementedError(
+                    "precision='double' supports SE/ARD/Matérn(½,3/2,5/2)/"
+                    f"laplace atoms and their +/* algebra (got {name})"
+                )
+            desc.append((i, fam, nu, gkey,
+                         None if group is None else tuple(group),
+                         ko.operations[i]))
+        return desc
+
+    def _df_gram(self, params_dict, a, b, desc):
+        """(hi, lo) Gram of the (possibly composite) kernel: per-atom df
+        Pallas Grams folded with barrier-guarded df add/mul."""
+        from stpy_tpu.ops.pallas_gram_df import _df_add, _df_mul, gram_df
+
+        outh = outl = None
+        for (i, fam, nu, gkey, group, op) in desc:
+            p = {**self.kernel_object.params_dict[str(i)],
+                 **params_dict.get(str(i), {})}
+            gamma = p[gkey]
+            kappa = p.get("kappa", 1.0)
+            aa = a if group is None else a[:, jnp.asarray(group)]
+            bb = b if group is None else b[:, jnp.asarray(group)]
+            if gkey == "ard_gamma" and group is not None:
+                gamma = jnp.asarray(gamma).reshape(-1)[jnp.asarray(group)]
+            Kh, Kl = gram_df(aa, bb, gamma, kappa, family=fam, nu=nu)
+            if op == "+":
+                outh, outl = _df_add(outh, outl, Kh, Kl)
+            elif op == "*":
+                outh, outl = _df_mul(outh, outl, Kh, Kl)
+            else:
+                outh, outl = Kh, Kl
+        return outh, outl
 
     def _build_df_jits(self):
-        from stpy_tpu.ops.pallas_gram_df import gram_se_df
-
         HIP = jax.lax.Precision.HIGHEST
+        desc = self._df_atom_desc()
 
         def fit(x, y, params_dict, s):
             n = x.shape[0]
-            gamma, kappa = self._df_params(params_dict)
-            Kh, Kl = gram_se_df(x, x, gamma, kappa)
+            Kh, Kl = self._df_gram(params_dict, x, x, desc)
             A = Kh + (s * s) * jnp.eye(n, dtype=Kh.dtype)
-            res = safe_cholesky(A)
-            alpha = cho_solve_blocked(res.L, y)
+            if self._jitter_ladder:
+                res = safe_cholesky(A)
+                L_, ok_, jit_ = res.L, res.ok, res.jitter
+            else:
+                # honor jitter_ladder=False here too (r2 ADVICE): the
+                # ladder's live pre-jitter Gram is what OOMs 32k fits
+                L_ = chol_jittered(A)
+                ok_ = jnp.all(jnp.isfinite(L_))
+                jit_ = default_jitter(A.dtype) * jnp.mean(jnp.diagonal(A))
+            alpha = cho_solve_blocked(L_, y)
             # two refinement steps with the df residual: converges to the
             # (hi + lo)-system solution, i.e. f64-reference quality
             for _ in range(2):
@@ -151,12 +211,11 @@ class GaussianProcess(Estimator, RandomProcess):
                     + jax.lax.dot(Kl, alpha, precision=HIP)
                     + (s * s) * alpha
                 )
-                alpha = alpha + cho_solve_blocked(res.L, r)
-            return res.L, alpha, res.ok, res.jitter
+                alpha = alpha + cho_solve_blocked(L_, r)
+            return L_, alpha, ok_, jit_
 
         def predict(L, alpha, x, xtest, params_dict, s):
-            gamma, kappa = self._df_params(params_dict)
-            Kh, Kl = gram_se_df(xtest, x, gamma, kappa)     # (t, n)
+            Kh, Kl = self._df_gram(params_dict, xtest, x, desc)  # (t, n)
             mu = (jax.lax.dot(Kh, alpha, precision=HIP)
                   + jax.lax.dot(Kl, alpha, precision=HIP))
             kss = self.kernel_object.diag(xtest, params_dict)
@@ -170,7 +229,7 @@ class GaussianProcess(Estimator, RandomProcess):
             from stpy_tpu.ops.compensated import dot_diag_df, gemm_compensated
             from stpy_tpu.ops.pallas_gram_df import _df_add, _two_sum
 
-            Th, Tl = gram_se_df(x, x, gamma, kappa)         # train Gram df
+            Th, Tl = self._df_gram(params_dict, x, x, desc)  # train Gram df
             s2 = s * s
             Wh = cho_solve_blocked(L, Kh.T)
             Wl = jnp.zeros_like(Wh)
@@ -209,7 +268,10 @@ class GaussianProcess(Estimator, RandomProcess):
             else:
                 L = chol_jittered(K)
                 ok = jnp.all(jnp.isfinite(L))
-                jitter = jnp.asarray(default_jitter(K.dtype), K.dtype)
+                # report what chol_jittered actually adds (base * mean diag),
+                # matching safe_cholesky's scaled report (r2 ADVICE)
+                jitter = (default_jitter(K.dtype)
+                          * jnp.mean(jnp.diagonal(K))).astype(K.dtype)
             alpha = cho_solve(L, y)
             # solver status surfaced as data, not exceptions (SURVEY §5)
             return L, alpha, ok, jitter

@@ -1,36 +1,43 @@
-"""Double-float (hi, lo) SE Gram as a Pallas TPU kernel.
+"""Double-float (hi, lo) Gram kernels (SE + Matérn families) on TPU.
 
 Why this exists: the TPU has no f64, and an f32 Gram caps the exact-GP
 posterior-mean accuracy at ~1e-6 rtol vs an f64 reference at n=16k — the
 *storage rounding* of K itself is the floor (measured: a perfect
 f64-rounded-to-f32 K plateaus at 1.06e-6 mean rel err even with iterative
 refinement; adding the exact lo part takes it to 5.9e-7, see
-benchmarks/exp_roofline.py). This kernel computes each Gram entry as an
-unevaluated pair (hi, lo) with hi + lo = kappa·exp(-||x-y||²/(2γ²)) to
-~1e-9 relative, entirely in f32 VPU arithmetic:
+benchmarks/exp_roofline.py). These kernels compute each Gram entry as an
+unevaluated pair (hi, lo) with hi + lo = k(x, y) to ~1e-9 relative,
+entirely in f32 VPU arithmetic:
 
   * coordinates are pre-scaled by 1/γ in double-float OUTSIDE the kernel
     (elementwise jnp, cheap) so ARD lengthscales are free;
   * squared distances accumulate with error-free transformations
     (TwoSum / Dekker TwoProd — no FMA primitive is exposed, so products
     split via the 2^12+1 Veltkamp constant);
-  * exp uses range reduction z = k·ln2 + r with a split ln2 (the high part
-    has an 11-bit mantissa so k·ln2_hi is exact for |k| ≤ 128) and
+  * SE: exp uses range reduction z = k·ln2 + r with a split ln2 (the high
+    part has an 11-bit mantissa so k·ln2_hi is exact for |k| ≤ 128) and
     e^r = 1 + r + r²/2 + r³·Q(r) with Q in plain f32 — the r³ prefactor
     keeps the f32 polynomial error below ~1e-9 of e^r;
+  * Matérn ν ∈ {½, 3/2, 5/2} (and laplace ≡ ν=½): t = √(2ν·sq) via a
+    df sqrt (one exact-residual Newton correction), the polynomial
+    prefactor (1, 1+t, 1+t+t²/3) in df, and the same df exp on −t;
   * 2^k is built by exponent-field bitcast (exact; entries with
     z < -87 flush to exactly 0 — they are < 1.6e-38 anyway).
 
 Used by the exact-GP "double" precision path: factor A_hi once, then
 iterative refinement with residuals r = y - (A_hi + A_lo + s²I)·α converges
-to the f64-quality solution. Reference semantics: the torch reference is
-float64 end-to-end (stpy/continuous_processes/gauss_procc.py:367-399);
-this is how the TPU rebuild matches it without f64 hardware.
+to the f64-quality solution. Composite kernels (sums/products of these
+atoms) combine (hi, lo) pairs with the barrier-guarded df algebra at the
+call site (models/exact_gp.py). Reference semantics: the torch reference
+is float64 end-to-end for EVERY kernel
+(stpy/continuous_processes/gauss_procc.py:152,367-399); this is how the
+TPU rebuild matches it without f64 hardware.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -43,8 +50,17 @@ _LN2_HI = 0.693359375                 # 11-bit mantissa: k*LN2_HI exact
 _LN2_REST = -2.1219444005469057e-04   # ln2 - LN2_HI
 _SPLIT = 4097.0                       # Veltkamp constant for f32 (2^12 + 1)
 
-# df path is VPU-bound with a static unroll over feature dims
-DF_MAX_D = 32
+# df Pallas path is VPU-bound with a static unroll over feature dims; the
+# VMEM x-block is lane-padded to 128 either way, so d ≤ 128 costs no extra
+# memory (r2 capped this at 32; lifted per VERDICT r2 item 4). d > 128
+# falls back to a row-chunked HLO implementation of the same arithmetic.
+DF_MAX_D = 128
+
+
+def _split_f64(v: float) -> tuple[float, float]:
+    """Host-side split of an f64 constant into (f32-representable hi, lo)."""
+    hi = np.float32(v)
+    return float(hi), float(np.float64(v) - np.float64(hi))
 
 
 def _make_eft(use_barriers: bool):
@@ -96,34 +112,27 @@ def _make_eft(use_barriers: bool):
 _two_sum, _fast_two_sum, _two_prod, _df_add = _make_eft(True)
 
 
+def _df_mul(xh, xl, yh, yl):
+    """Barrier-guarded elementwise df product (for '*' kernel algebra)."""
+    ph, pe = _two_prod(xh, yh)
+    return _fast_two_sum(ph, pe + xh * yl + xl * yh)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _gram_df_kernel(kap_ref, xh_ref, xl_ref, yh_ref, yl_ref,
-                    oh_ref, ol_ref, *, d, barriers):
-    _two_sum, _fast_two_sum, _two_prod, _df_add = _make_eft(barriers)
-    xh, xl = xh_ref[:], xl_ref[:]          # (TM, dp)
-    yh, yl = yh_ref[:], yl_ref[:]          # (dp, TN), pre-transposed
-    acc_h = jnp.zeros((xh.shape[0], yh.shape[1]), jnp.float32)
-    acc_l = jnp.zeros_like(acc_h)
-    for c in range(d):                     # static unroll (d <= DF_MAX_D)
-        dh, de = _two_sum(xh[:, c:c + 1], -yh[c:c + 1, :])
-        dl = de + (xl[:, c:c + 1] - yl[c:c + 1, :])
-        sh, se = _two_prod(dh, dh)
-        se = se + 2.0 * dh * dl
-        acc_h, acc_l = _df_add(acc_h, acc_l, sh, se)
-
-    # w = -sq/2 (exact halving), then e^w via range reduction
-    wh = -0.5 * acc_h
-    wl = -0.5 * acc_l
+def _df_exp(wh, wl, eft, bitcast):
+    """df e^w for w ≤ 0 via range reduction; entries with w < -87 flush to
+    exactly 0. `bitcast(int32_arr) -> f32_arr` builds 2^k exactly."""
+    two_sum, fast_two_sum, two_prod, df_add = eft
     live = wh > -87.0
     k = jnp.round(wh * _LOG2E)
-    rh, re = _two_sum(wh, -(k * _LN2_HI))
+    rh, re = two_sum(wh, -(k * _LN2_HI))
     rl = re - k * _LN2_REST + wl
-    rh, rl = _fast_two_sum(rh, rl)
+    rh, rl = fast_two_sum(rh, rl)
 
-    sqh, sqe = _two_prod(rh, rh)
+    sqh, sqe = two_prod(rh, rh)
     sqe = sqe + 2.0 * rh * rl
     # e^r = 1 + r + r²/2 + r³·Q(r); Q in f32 — error enters at r³·1e-7·Q
     q = 1.0 / 40320.0
@@ -131,34 +140,103 @@ def _gram_df_kernel(kap_ref, xh_ref, xl_ref, yh_ref, yl_ref,
                   1.0 / 6.0):
         q = q * rh + ccoef
     c3 = rh * sqh * q
-    eh, el = _fast_two_sum(1.0, rh)
+    eh, el = fast_two_sum(1.0, rh)
     el = el + rl
-    eh, el = _df_add(eh, el, 0.5 * sqh, 0.5 * sqe)
+    eh, el = df_add(eh, el, 0.5 * sqh, 0.5 * sqe)
     el = el + c3
-    eh, el = _fast_two_sum(eh, el)
+    eh, el = fast_two_sum(eh, el)
 
     # exact 2^k scaling via exponent bitcast (k in [-126, 0] when live)
     ki = jnp.clip(k, -126.0, 126.0).astype(jnp.int32)
-    pw = pltpu.bitcast(
-        jax.lax.shift_left(ki + 127, jnp.int32(23)), jnp.float32
-    )
+    pw = bitcast(jax.lax.shift_left(ki + 127, jnp.int32(23)))
     eh = jnp.where(live, eh * pw, 0.0)
     el = jnp.where(live, el * pw, 0.0)
+    return eh, el
 
-    kh = kap_ref[0, 0]
-    kl = kap_ref[0, 1]
-    oh, oe = _two_prod(eh, kh)
+
+def _df_entry(acc_h, acc_l, kh, kl, *, family, nu, eft, bitcast):
+    """(hi, lo) kernel entry from the df squared distance in 1/γ-scaled
+    coordinates. family: "se" -> κ·e^{-sq/2}; "matern" ->
+    κ·P_ν(t)·e^{-t}, t = √(2ν·sq) (ν=½ is laplace/exp(-r/γ))."""
+    two_sum, fast_two_sum, two_prod, df_add = eft
+
+    if family == "se":
+        eh, el = _df_exp(-0.5 * acc_h, -0.5 * acc_l, eft, bitcast)
+    elif family == "matern":
+        # t = √(2ν)·√sq in df: f32 sqrt + one exact-residual Newton step
+        safe = acc_h > 1e-36
+        ah = jnp.maximum(acc_h, 1e-36)
+        sh = jnp.sqrt(ah)
+        p, pe = two_prod(sh, sh)
+        err = ((ah - p) - pe) + acc_l
+        sl = err / (2.0 * sh)
+        sh = jnp.where(safe, sh, 0.0)
+        sl = jnp.where(safe, sl, 0.0)
+        ch, cl = _split_f64(math.sqrt(2.0 * nu))
+        th, te = two_prod(sh, ch)
+        te = te + sh * cl + ch * sl
+        th, tl = fast_two_sum(th, te)
+
+        eh, el = _df_exp(-th, -tl, eft, bitcast)
+
+        if nu == 1.5:                      # P = 1 + t
+            ph, pe2 = two_sum(1.0, th)
+            ph, pl_ = fast_two_sum(ph, pe2 + tl)
+        elif nu == 2.5:                    # P = 1 + t + t²/3
+            qh, qe = two_prod(th, th)
+            qe = qe + 2.0 * th * tl
+            oth, otl = _split_f64(1.0 / 3.0)
+            q3h, q3e = two_prod(qh, oth)
+            q3e = q3e + qh * otl + qe * oth
+            q3h, q3l = fast_two_sum(q3h, q3e)
+            ph, pe2 = two_sum(1.0, th)
+            ph, pl_ = fast_two_sum(ph, pe2 + tl)
+            ph, pl_ = df_add(ph, pl_, q3h, q3l)
+        else:                              # ν = ½: P = 1
+            ph, pl_ = None, None
+        if ph is not None:
+            rh_, re_ = two_prod(eh, ph)
+            re_ = re_ + eh * pl_ + el * ph
+            eh, el = fast_two_sum(rh_, re_)
+    else:  # pragma: no cover - guarded at dispatch
+        raise NotImplementedError(family)
+
+    oh, oe = two_prod(eh, kh)
     oe = oe + eh * kl + el * kh
-    oh, ol = _fast_two_sum(oh, oe)
+    return fast_two_sum(oh, oe)
+
+
+def _gram_df_kernel(kap_ref, xh_ref, xl_ref, yh_ref, yl_ref,
+                    oh_ref, ol_ref, *, d, barriers, family, nu):
+    eft = _make_eft(barriers)
+    two_sum, fast_two_sum, two_prod, df_add = eft
+    xh, xl = xh_ref[:], xl_ref[:]          # (TM, dp)
+    yh, yl = yh_ref[:], yl_ref[:]          # (dp, TN), pre-transposed
+    acc_h = jnp.zeros((xh.shape[0], yh.shape[1]), jnp.float32)
+    acc_l = jnp.zeros_like(acc_h)
+    for c in range(d):                     # static unroll (d <= DF_MAX_D)
+        dh, de = two_sum(xh[:, c:c + 1], -yh[c:c + 1, :])
+        dl = de + (xl[:, c:c + 1] - yl[c:c + 1, :])
+        sh, se = two_prod(dh, dh)
+        se = se + 2.0 * dh * dl
+        acc_h, acc_l = df_add(acc_h, acc_l, sh, se)
+
+    oh, ol = _df_entry(
+        acc_h, acc_l, kap_ref[0, 0], kap_ref[0, 1],
+        family=family, nu=nu, eft=eft,
+        bitcast=lambda i: pltpu.bitcast(i, jnp.float32),
+    )
     oh_ref[:] = oh
     ol_ref[:] = ol
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "interpret")
+    jax.jit,
+    static_argnames=("block_m", "block_n", "interpret", "family", "nu"),
 )
 def _gram_df_pallas(xh, xl, yh, yl, kappa_df,
-                    *, block_m: int, block_n: int, interpret: bool):
+                    *, block_m: int, block_n: int, interpret: bool,
+                    family: str, nu: float):
     n, d = xh.shape
     m = yh.shape[0]
     dp = _round_up(max(d, 1), 8)
@@ -172,7 +250,8 @@ def _gram_df_pallas(xh, xl, yh, yl, kappa_df,
 
     # barriers only where the HLO simplifier runs (interpret mode); the
     # Mosaic TPU lowering has no optimization_barrier and no such rewrites
-    kern = functools.partial(_gram_df_kernel, d=d, barriers=interpret)
+    kern = functools.partial(_gram_df_kernel, d=d, barriers=interpret,
+                             family=family, nu=nu)
     oh, ol = pl.pallas_call(
         kern,
         grid=(np_ // block_m, mp // block_n),
@@ -208,6 +287,48 @@ def _gram_df_pallas(xh, xl, yh, yl, kappa_df,
     return oh[:n, :m], ol[:n, :m]
 
 
+@functools.partial(jax.jit, static_argnames=("family", "nu", "chunk"))
+def _gram_df_hlo(xh, xl, yh, yl, kappa_df, *, family, nu, chunk=1024):
+    """Row-chunked HLO (barrier-guarded) df Gram for d > DF_MAX_D — the
+    same arithmetic as the Pallas kernel, O(chunk·m) temporaries."""
+    eft = _make_eft(True)
+    two_sum, fast_two_sum, two_prod, df_add = eft
+    n, d = xh.shape
+    m = yh.shape[0]
+    cb = min(chunk, n)
+    nb = -(-n // cb)
+    pad = nb * cb - n
+    xhb = jnp.pad(xh, ((0, pad), (0, 0))).reshape(nb, cb, d)
+    xlb = jnp.pad(xl, ((0, pad), (0, 0))).reshape(nb, cb, d)
+
+    def bitcast(i):
+        return jax.lax.bitcast_convert_type(i, jnp.float32)
+
+    def body(args):
+        xhc, xlc = args
+        acc_h = jnp.zeros((cb, m), jnp.float32)
+        acc_l = jnp.zeros_like(acc_h)
+
+        def dim_body(c, carry):
+            ah, al = carry
+            dh, de = two_sum(
+                jax.lax.dynamic_slice_in_dim(xhc, c, 1, 1),
+                -jax.lax.dynamic_slice_in_dim(yh, c, 1, 1).T,
+            )
+            dl = de + (jax.lax.dynamic_slice_in_dim(xlc, c, 1, 1)
+                       - jax.lax.dynamic_slice_in_dim(yl, c, 1, 1).T)
+            sh, se = two_prod(dh, dh)
+            se = se + 2.0 * dh * dl
+            return df_add(ah, al, sh, se)
+
+        acc_h, acc_l = jax.lax.fori_loop(0, d, dim_body, (acc_h, acc_l))
+        return _df_entry(acc_h, acc_l, kappa_df[0, 0], kappa_df[0, 1],
+                         family=family, nu=nu, eft=eft, bitcast=bitcast)
+
+    oh, ol = jax.lax.map(body, (xhb, xlb))
+    return (oh.reshape(-1, m)[:n], ol.reshape(-1, m)[:n])
+
+
 def _df_inv(g):
     """Double-float reciprocal of f32 g via one exact Newton residual."""
     g = jnp.asarray(g, jnp.float32)
@@ -224,19 +345,54 @@ def _df_scale_coords(x, inv_h, inv_l):
     return _fast_two_sum(p, pe + x * inv_l)
 
 
-def gram_se_df(x, y, gamma, kappa=1.0, *, block_m=256, block_n=256,
-               interpret=None):
-    """Double-float SE Gram: returns (hi, lo) f32 arrays with
-    hi + lo = kappa·exp(-||x-y||²/(2γ²)) to ~1e-9 relative.
+def _f64_reference(x, y, gamma, kappa, family, nu):
+    """Exact f64 (hi, lo) on CPU-x64 backends — the test-suite contract."""
+    g64 = jnp.asarray(
+        np.asarray(gamma, np.float64)
+        if isinstance(gamma, (int, float, np.ndarray, np.floating))
+        else gamma, jnp.float64,
+    ).reshape(-1)
+    x64 = jnp.asarray(x, jnp.float64)
+    y64 = jnp.asarray(y, jnp.float64)
+    sq = jnp.sum(((x64[:, None, :] - y64[None, :, :]) / g64) ** 2, axis=-1)
+    if family == "se":
+        K = jnp.exp(-0.5 * sq)
+    else:
+        t = jnp.sqrt(2.0 * nu * sq + 1e-300)
+        if nu == 1.5:
+            P = 1.0 + t
+        elif nu == 2.5:
+            P = 1.0 + t + t * t / 3.0
+        else:
+            P = 1.0
+        K = P * jnp.exp(-t)
+    K = jnp.asarray(kappa, jnp.float64) * K
+    hi = K.astype(jnp.float32).astype(jnp.float64)
+    return hi, K - hi
 
+
+def gram_df(x, y, gamma, kappa=1.0, *, family="se", nu=1.5,
+            block_m=256, block_n=256, interpret=None):
+    """Double-float Gram: returns (hi, lo) f32 arrays with
+    hi + lo = k(x, y) to ~1e-9 relative.
+
+    family "se": κ·exp(-||x-y||²/(2γ²)); family "matern": κ·P_ν(t)·e^{-t}
+    with t = √(2ν)·||x-y||/γ and ν ∈ {0.5, 1.5, 2.5} (ν=0.5 ≡ laplace).
     gamma may be a scalar or per-dim (ARD) array. On non-TPU backends with
     x64 enabled this falls back to an exact f64 computation split into
     (hi, lo) — same contract, used by the CPU test-suite.
     """
+    if family == "matern" and nu not in (0.5, 1.5, 2.5):
+        raise NotImplementedError(
+            f"df matern supports nu in (0.5, 1.5, 2.5), got {nu}"
+        )
+    if family not in ("se", "matern"):
+        raise NotImplementedError(f"df gram family {family!r}")
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     d = x.shape[1]
     g = jnp.broadcast_to(jnp.asarray(gamma, jnp.float32).reshape(-1), (d,))
+    nu = float(nu)
 
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None:
@@ -244,21 +400,7 @@ def gram_se_df(x, y, gamma, kappa=1.0, *, block_m=256, block_n=256,
     if (not on_tpu) and (not interpret) and not jax.config.jax_enable_x64:
         interpret = True  # CPU f32: exercise the actual kernel, interpreted
     if (not on_tpu) and jax.config.jax_enable_x64 and not interpret:
-        g64 = (jnp.asarray(gamma, jnp.float64)
-               if isinstance(gamma, (int, float, np.ndarray, np.floating))
-               else jnp.asarray(g, jnp.float64)).reshape(-1)
-        x64 = x.astype(jnp.float64)
-        y64 = y.astype(jnp.float64)
-        sq = jnp.sum(
-            ((x64[:, None, :] - y64[None, :, :]) / g64) ** 2, axis=-1
-        )
-        K = jnp.asarray(kappa, jnp.float64) * jnp.exp(-0.5 * sq)
-        hi = K.astype(jnp.float32).astype(jnp.float64)
-        return hi, K - hi
-    if d > DF_MAX_D:
-        raise NotImplementedError(
-            f"df Gram supports d <= {DF_MAX_D} (got {d}); use the f32 path"
-        )
+        return _f64_reference(x, y, gamma, kappa, family, nu)
 
     # concrete host parameters keep their f64 meaning: split 1/γ and κ in
     # f64 on host; traced parameters fall back to f32-rounded semantics
@@ -282,7 +424,24 @@ def gram_se_df(x, y, gamma, kappa=1.0, *, block_m=256, block_n=256,
         kappa_df = jnp.stack(
             [kap, jnp.zeros((), jnp.float32)]
         ).reshape(1, 2)
+    if d > DF_MAX_D:
+        return _gram_df_hlo(xh, xl, yh, yl, kappa_df, family=family, nu=nu)
     return _gram_df_pallas(
         xh, xl, yh, yl, kappa_df,
         block_m=block_m, block_n=block_n, interpret=bool(interpret),
+        family=family, nu=nu,
     )
+
+
+def gram_se_df(x, y, gamma, kappa=1.0, *, block_m=256, block_n=256,
+               interpret=None):
+    """Double-float SE Gram (see `gram_df`)."""
+    return gram_df(x, y, gamma, kappa, family="se",
+                   block_m=block_m, block_n=block_n, interpret=interpret)
+
+
+def gram_matern_df(x, y, gamma, kappa=1.0, *, nu=1.5,
+                   block_m=256, block_n=256, interpret=None):
+    """Double-float Matérn Gram, ν ∈ {0.5, 1.5, 2.5} (see `gram_df`)."""
+    return gram_df(x, y, gamma, kappa, family="matern", nu=nu,
+                   block_m=block_m, block_n=block_n, interpret=interpret)
