@@ -259,3 +259,18 @@ def test_sgcp_recovers_known_sigmoidal_cox_rate():
     assert np.all(hi > lo)
     cover = np.mean((true >= lo - 1e-6) & (true <= hi + 1e-6))
     assert cover > 0.25, cover
+    # r3 (VERDICT r2 item 8): the HMC-corrected bands sample the true
+    # (non-factorized) sparse posterior and must restore calibration —
+    # nominal 0.80 band, required >= 0.6 empirical coverage (the MFVI
+    # band above measures ~0.36 on this fixture)
+    lo_m, hi_m, acc = sg.rate_bands_mcmc(
+        xt, delta=0.1, samples=600, warmup=300,
+        key=jax.random.PRNGKey(11),
+    )
+    assert acc > 0.4, acc
+    lo_m = np.asarray(lo_m).ravel()
+    hi_m = np.asarray(hi_m).ravel()
+    cover_m = np.mean((true >= lo_m - 1e-6) & (true <= hi_m + 1e-6))
+    assert cover_m >= 0.6, (cover_m, cover)
+    # and wider than the under-dispersed MFVI band on average
+    assert (hi_m - lo_m).mean() > (hi - lo).mean()
