@@ -6,7 +6,12 @@ from stpy_tpu.parallel.mesh import (
     distributed_evidence,
     restart_farm,
 )
-from stpy_tpu.parallel.iterative import IterativeGP, cg_solve
+from stpy_tpu.parallel.iterative import (
+    IterativeGP,
+    cg_solve,
+    make_pivchol_precond,
+    pivoted_cholesky_kernel,
+)
 from stpy_tpu.parallel.slq import slq_logdet, slq_trace_fn, evidence_matvec_only
 from stpy_tpu.parallel.blocked import (
     blocked_cholesky,

@@ -64,38 +64,102 @@ def cg_solve(matvec, b, M_inv=None, tol=1e-8, maxiter=1000):
     return x, it, jnp.linalg.norm(r) / bnorm
 
 
-def cg_solve_block(matmat, B, tol=1e-8, maxiter=1000):
+def cg_solve_block(matmat, B, M_inv=None, tol=1e-8, maxiter=1000):
     """CG on r independent right-hand sides simultaneously — all inner
     products are per-column, the matvec is one BLOCK product (pairs with
     `make_lazy_matmat`: r ≤ 128 RHS cost ~one fused Gram pass). Converged
-    columns freeze (zero step) while the rest continue. Returns (X, iters)."""
+    columns freeze (zero step) while the rest continue. Optional `M_inv`
+    (applied to the (n, r) residual block — e.g. the pivoted-Cholesky
+    preconditioner) turns this into block PCG. Returns (X, iters)."""
     B = jnp.asarray(B)
+    precond = M_inv is not None
+    if M_inv is None:
+        M_inv = lambda r: r
     bnorm = jnp.linalg.norm(B, axis=0)
     x0 = jnp.zeros_like(B)
-    rz0 = jnp.sum(B * B, axis=0)
+    z0 = M_inv(B)
+    rz0 = jnp.sum(B * z0, axis=0)
+    rr0 = jnp.sum(B * B, axis=0)
 
     def cond(state):
-        x, r, p, rz, it = state
+        x, r, p, rz, rr, it = state
         return jnp.logical_and(
-            jnp.any(jnp.sqrt(rz) > tol * bnorm), it < maxiter
+            jnp.any(jnp.sqrt(rr) > tol * bnorm), it < maxiter
         )
 
     def body(state):
-        x, r, p, rz, it = state
+        x, r, p, rz, rr, it = state
         Ap = matmat(p)
         denom = jnp.sum(p * Ap, axis=0)
-        active = jnp.sqrt(rz) > tol * bnorm
+        active = jnp.sqrt(rr) > tol * bnorm
         alpha = jnp.where(active, rz / jnp.where(denom == 0, 1.0, denom), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        rz_new = jnp.sum(r * r, axis=0)
+        z = M_inv(r) if precond else r
+        rz_new = jnp.sum(r * z, axis=0)
+        rr_new = jnp.sum(r * r, axis=0)
         beta = jnp.where(active, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
-        p = r + beta * p
-        return x, r, p, rz_new, it + 1
+        p = z + beta * p
+        return x, r, p, rz_new, rr_new, it + 1
 
-    state = (x0, B, B, rz0, jnp.asarray(0))
-    x, r, _, _, it = jax.lax.while_loop(cond, body, state)
+    state = (x0, B, z0, rz0, rr0, jnp.asarray(0))
+    x, r, _, _, _, it = jax.lax.while_loop(cond, body, state)
     return x, it
+
+
+def pivoted_cholesky_kernel(kernel_object, x, rank, params_dict=None):
+    """Partial pivoted Cholesky of the kernel Gram, MATRIX-FREE: returns
+    Lm of shape (rank, n) with K ≈ Lmᵀ Lm using only `rank` kernel COLUMN
+    evaluations and O(n·rank) memory — never a dense Gram.
+
+    This is the BBMM preconditioner construction (GPyTorch's recipe): the
+    greedy pivot (largest residual diagonal) gives the best rank-r
+    Nyström-type approximation available from column access, and
+    (σ²I + LmᵀLm)⁻¹ applied via Woodbury is an excellent CG preconditioner
+    for smooth kernels whose spectrum decays fast. Works for ANY
+    KernelFunction (column eval goes through eval_params). Runs under jit
+    (fori over a static rank, dynamic-slice column picks)."""
+    pd = params_dict or kernel_object.params_dict
+    x = jnp.asarray(x)
+    n, dx = x.shape
+    rank = int(min(rank, n))
+    diag0 = kernel_object.diag(x, pd).reshape(-1)
+
+    def body(i, carry):
+        Lm, d = carry
+        p = jnp.argmax(d).astype(jnp.int32)
+        xp = jax.lax.dynamic_slice(x, (p, jnp.int32(0)), (1, dx))
+        col = kernel_object.eval_params(pd, x, xp).reshape(-1)
+        col = col - Lm[:, p] @ Lm            # rows >= i are still zero
+        piv = jnp.sqrt(jnp.maximum(d[p], 1e-30))
+        l = col / piv
+        Lm = Lm.at[i].set(l)
+        d = jnp.maximum(d - l * l, 0.0)
+        d = d.at[p].set(0.0)                 # never re-pick a pivot
+        return Lm, d
+
+    Lm0 = jnp.zeros((rank, n), x.dtype)
+    Lm, _ = jax.lax.fori_loop(0, rank, body, (Lm0, diag0))
+    return Lm
+
+
+def make_pivchol_precond(Lm, noise):
+    """Woodbury apply of (σ²I + LmᵀLm)⁻¹ — the preconditioner companion of
+    `pivoted_cholesky_kernel`. Accepts (n,) vectors or (n, r) blocks; cost
+    per apply = two (rank, n) GEMMs + one (rank, rank) solve."""
+    s2 = noise * noise
+    r = Lm.shape[0]
+    small = s2 * jnp.eye(r, dtype=Lm.dtype) + Lm @ Lm.T
+    c = jnp.linalg.cholesky(small)
+
+    def M_inv(rhs):
+        rhs2 = rhs if rhs.ndim == 2 else rhs[:, None]
+        t = Lm @ rhs2
+        u = jax.scipy.linalg.cho_solve((c, True), t)
+        out = (rhs2 - Lm.T @ u) / s2
+        return out if rhs.ndim == 2 else out.reshape(rhs.shape)
+
+    return M_inv
 
 
 class IterativeGP:
@@ -107,7 +171,7 @@ class IterativeGP:
 
     def __init__(self, kernel_object, s=0.1, mesh=None, axis="tp",
                  precond_block=2048, tol=1e-6, maxiter=500, lazy=False,
-                 chunk=2048):
+                 chunk=2048, precond_rank=0):
         self.kernel_object = kernel_object
         self.s = s
         self.mesh = mesh
@@ -117,6 +181,12 @@ class IterativeGP:
         self.maxiter = maxiter
         self.lazy = lazy
         self.chunk = chunk  # row-chunk of the general (any-kernel) matvec
+        # precond_rank > 0: rank-r pivoted-Cholesky preconditioner on the
+        # lazy path (the mesh path uses block-Jacobi). Ill-conditioned
+        # large-n systems (small noise, long lengthscales) need it: at
+        # n=65k/s=0.2 the unpreconditioned CG stalls at 4.7e-2 residual in
+        # 400 iterations (exp_r3_batch_a a3).
+        self.precond_rank = int(precond_rank)
         self.fitted = False
 
     def _lazy_matvec_or_none(self, x):
@@ -166,7 +236,11 @@ class IterativeGP:
         s2 = self.s**2
 
         if self.lazy and self.mesh is None:
-            return self._lazy_matvec_or_none(x), None
+            M_inv = None
+            if self.precond_rank > 0:
+                Lm = pivoted_cholesky_kernel(ko, x, self.precond_rank)
+                M_inv = make_pivchol_precond(Lm, self.s)
+            return self._lazy_matvec_or_none(x), M_inv
 
         if self.mesh is None:
             K = ko.gram(x) + s2 * jnp.eye(n, dtype=x.dtype)
@@ -333,6 +407,7 @@ class IterativeGP:
         self.n = x.shape[0]
         matvec, M_inv = self._matvec_factory(x)
         self._matvec = matvec
+        self._M_inv = M_inv
 
         alpha, it, res = cg_solve(
             matvec, y.ravel(), M_inv=M_inv, tol=self.tol,
@@ -372,7 +447,8 @@ class IterativeGP:
                 for c0 in range(0, t, 128):
                     blk = B[:, c0:c0 + 128]
                     sol, _ = cg_solve_block(
-                        mm, blk, tol=self.tol, maxiter=self.maxiter
+                        mm, blk, M_inv=getattr(self, "_M_inv", None),
+                        tol=self.tol, maxiter=self.maxiter,
                     )
                     quads.append(jnp.sum(blk * sol, axis=0))
                 quad = jnp.concatenate(quads)

@@ -191,6 +191,54 @@ def test_iterative_gp_sum_kernel_fit_and_hyperfit():
     assert out["steps_run"] >= 5
 
 
+def test_pivoted_cholesky_preconditioner_cuts_cg_iterations():
+    """Rank-r pivoted Cholesky (matrix-free, any kernel) approximates the
+    Gram and its Woodbury apply slashes CG iterations on an
+    ill-conditioned system (the r3 fix for the 65k stalled fit)."""
+    from stpy_tpu.parallel import (
+        IterativeGP, cg_solve, make_pivchol_precond,
+        pivoted_cholesky_kernel,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 400
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    yv = jnp.asarray(np.sin(3 * np.asarray(x)[:, 0]))
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.8, d=2)
+    s = 0.05
+
+    # low-rank approximation quality: residual trace shrinks fast
+    Lm = pivoted_cholesky_kernel(k, x, 60)
+    K = k.gram(x)
+    resid = K - Lm.T @ Lm
+    assert float(jnp.trace(resid)) / float(jnp.trace(K)) < 1e-2
+    # psd-ish residual (pivoted Cholesky guarantees it up to roundoff)
+    assert float(jnp.min(jnp.diagonal(resid))) > -1e-8
+
+    A = K + s * s * jnp.eye(n)
+    mv = lambda v: A @ v
+    _, it_plain, _ = cg_solve(mv, yv, tol=1e-8, maxiter=2000)
+    M_inv = make_pivchol_precond(Lm, s)
+    sol, it_pre, res = cg_solve(mv, yv, M_inv=M_inv, tol=1e-8, maxiter=2000)
+    assert int(it_pre) < int(it_plain) / 3, (int(it_pre), int(it_plain))
+    ref = jnp.linalg.solve(A, yv)
+    assert float(jnp.max(jnp.abs(sol - ref))) < 1e-6
+
+    # end-to-end through IterativeGP(precond_rank=...)
+    gp = IterativeGP(k, s=s, lazy=True, tol=1e-8, maxiter=2000,
+                     precond_rank=60)
+    gp.fit_gp(x, yv.reshape(-1, 1))
+    assert gp.cg_iterations <= int(it_pre) + 5
+    from stpy_tpu.models.exact_gp import GaussianProcess
+
+    refgp = GaussianProcess(kernel=k, s=s)
+    refgp.fit_gp(x, yv.reshape(-1, 1))
+    mu_ref, std_ref = refgp.mean_std(x[:16])
+    mu, std = gp.mean_std(x[:16])
+    assert float(jnp.max(jnp.abs(mu - mu_ref))) < 1e-6
+    assert float(jnp.max(jnp.abs(std - std_ref))) < 1e-5
+
+
 def test_chunked_matvec_matches_dense_any_kernel():
     from stpy_tpu.parallel.lazy_kernel import (
         make_chunked_matmat, make_chunked_matvec,
@@ -292,6 +340,63 @@ def test_iterative_gp_general_kernel_hyperfit_product():
     after = dense_nll(mk(g0, g1), gp.s)
     assert after < before - 1.0, (before, after)
     assert (g0, g1) != (2.0, 2.0)
+
+
+def test_iterative_gp_sum_of_grouped_atoms_fast_tier():
+    """k_se(x0) + k_matern(x1): per-coordinate-group FUSED atoms (the fast
+    sum tier, not the chunked fallback) — fit matches dense, hyperfit
+    writes per-atom gammas back."""
+    from stpy_tpu.models.exact_gp import GaussianProcess
+    from stpy_tpu.parallel import IterativeGP
+    from stpy_tpu.parallel.lazy_kernel import fast_atoms
+
+    rng = np.random.default_rng(53)
+    n = 220
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(x)[:, :1])
+                    + 0.3 * np.asarray(x)[:, 1:2]
+                    + 0.1 * rng.standard_normal((n, 1)))
+
+    def mk(g0, g1):
+        return (
+            KernelFunction(kernel_name="squared_exponential", gamma=g0,
+                           group=[0], d=2)
+            + KernelFunction(kernel_name="matern", gamma=g1, nu=1.5,
+                             group=[1], d=2)
+        )
+
+    k = mk(0.5, 0.8)
+    atoms = fast_atoms(k)
+    assert atoms is not None and len(atoms) == 2  # fused tier, not chunked
+    assert atoms[0].group == (0,) and atoms[1].group == (1,)
+
+    ref = GaussianProcess(kernel=mk(0.5, 0.8), s=0.2)
+    ref.fit_gp(x, y)
+    mu_ref, _ = ref.mean_std(x[:24])
+    gp = IterativeGP(k, s=0.2, lazy=True, tol=1e-10, maxiter=800)
+    gp.fit_gp(x, y)
+    assert float(jnp.max(jnp.abs(gp.mean(x[:24]) - mu_ref))) < 1e-6
+
+    k_bad = mk(2.5, 2.5)
+    gp2 = IterativeGP(k_bad, s=0.4, lazy=True, tol=1e-8, maxiter=400)
+    gp2.fit_gp(x, y)
+
+    def dense_nll(kern, s):
+        g = GaussianProcess(kernel=kern, s=s)
+        g.x, g.y = x, y
+        return float(g.log_marginal_params(kern, kern.params_dict,
+                                           jnp.asarray(s)))
+
+    before = dense_nll(mk(2.5, 2.5), 0.4)
+    gp2.optimize_params(
+        steps=25, lr=0.15, probes=64, tol=1e-3, cg_tol=1e-8,
+        cg_maxiter=400, probe_tol=1e-4, probe_maxiter=300,
+        key=jax.random.PRNGKey(21),
+    )
+    g0 = float(k_bad.params_dict["0"]["gamma"])
+    g1 = float(k_bad.params_dict["1"]["gamma"])
+    after = dense_nll(mk(g0, g1), gp2.s)
+    assert after < before - 1.0, (before, after)
 
 
 def test_iterative_gp_additive_groups_kernel_lazy():
