@@ -62,12 +62,13 @@ class GaussianProcess(Estimator, RandomProcess):
         if precision not in ("single", "double"):
             raise ValueError(f"precision must be single|double, got {precision}")
         self._precision = precision
-        # var_refine > 0 (double mode only): replace the variance trisolve
-        # with the z-form W = K⁻¹K*ᵀ, iteratively refined var_refine times
-        # using chunked-compensated residual GEMMs (ops/compensated.py) and
-        # a double-float quadratic form. Breaks the ~1e-4 relative-variance
-        # floor of the trisolve path (the f32 GEMM-accumulator limit —
-        # benchmarks/exp_var2.py) at ~2x the predict cost per pass.
+        # var_refine >= 1 (double mode only): replace the variance trisolve
+        # with one HIGH cho_solve W0 ≈ A⁻¹K*ᵀ plus the fused df quadratic
+        # form q̃ = 2bᵀw0 − w0ᵀAw0 (ops/pallas_qform_df.py) — variance
+        # error is SECOND order in W0's residual, so a single pass breaks
+        # the ~1e-4 relative-variance floor of the trisolve path (the f32
+        # GEMM-accumulator limit) with no df W iteration; the train df
+        # Gram is cached from the fit. Values > 1 behave like 1 (r3).
         if var_refine and precision != "double":
             raise ValueError("var_refine requires precision='double'")
         self._var_refine = int(var_refine)
@@ -190,6 +191,9 @@ class GaussianProcess(Estimator, RandomProcess):
         desc = self._df_atom_desc()
 
         def fit(x, y, params_dict, s):
+            from stpy_tpu.ops.compensated import gemm_compensated
+            from stpy_tpu.ops.pallas_gram_df import _two_sum
+
             n = x.shape[0]
             Kh, Kl = self._df_gram(params_dict, x, x, desc)
             A = Kh + (s * s) * jnp.eye(n, dtype=Kh.dtype)
@@ -203,54 +207,75 @@ class GaussianProcess(Estimator, RandomProcess):
                 ok_ = jnp.all(jnp.isfinite(L_))
                 jit_ = default_jitter(A.dtype) * jnp.mean(jnp.diagonal(A))
             alpha = cho_solve_blocked(L_, y)
-            # two refinement steps with the df residual: converges to the
-            # (hi + lo)-system solution, i.e. f64-reference quality
-            for _ in range(2):
-                r = y - (
-                    jax.lax.dot(Kh, alpha, precision=HIP)
-                    + jax.lax.dot(Kl, alpha, precision=HIP)
-                    + (s * s) * alpha
-                )
+            # refinement with a COMPENSATED df residual: the plain f32
+            # accumulator of a k=16k GEMV floors the residual at ~1e-5
+            # relative (heavier-tailed kernels like Matérn actually hit
+            # it — measured 1.8e-6 posterior mean in r3 before this);
+            # chunked-TwoSum products keep the residual df-accurate, so
+            # 3 steps converge to the (hi + lo)-system solution
+            for _ in range(3):
+                Ph, Pl = gemm_compensated(Kh, alpha, chunk=2048)
+                rh, re = _two_sum(y, -Ph)
+                r = rh + (re - Pl
+                          - jax.lax.dot(Kl, alpha, precision=HIP)
+                          - (s * s) * alpha)
                 alpha = alpha + cho_solve_blocked(L_, r)
+            if self._var_refine > 0:
+                # var_refine predict consumes the train df Gram — return it
+                # so predict doesn't rebuild it (~2 df Pallas Grams/predict
+                # otherwise; r3 VERDICT item 6)
+                return L_, alpha, ok_, jit_, Kh, Kl
             return L_, alpha, ok_, jit_
 
         def predict(L, alpha, x, xtest, params_dict, s):
-            Kh, Kl = self._df_gram(params_dict, xtest, x, desc)  # (t, n)
-            mu = (jax.lax.dot(Kh, alpha, precision=HIP)
-                  + jax.lax.dot(Kl, alpha, precision=HIP))
-            kss = self.kernel_object.diag(xtest, params_dict)
-            if self._var_refine == 0:
-                V = tri_solve_blocked(L, Kh.T, precision=HIP)   # (n, t)
-                var = jnp.maximum(kss - jnp.sum(V * V, axis=0), 1e-30)
-                return mu, jnp.sqrt(var)[:, None]
-            # refined z-form: W = (K + s²I)⁻¹ K*ᵀ in double-float, with the
-            # residual's deep-contraction GEMM compensated so the refinement
-            # floor is set by the df Gram, not the f32 accumulator
-            from stpy_tpu.ops.compensated import dot_diag_df, gemm_compensated
-            from stpy_tpu.ops.pallas_gram_df import _df_add, _two_sum
+            from stpy_tpu.ops.compensated import gemm_compensated
 
-            Th, Tl = self._df_gram(params_dict, x, x, desc)  # train Gram df
-            s2 = s * s
-            Wh = cho_solve_blocked(L, Kh.T)
-            Wl = jnp.zeros_like(Wh)
-            for _ in range(self._var_refine):
-                Ph, Pl = gemm_compensated(Th, Wh, chunk=512)
-                small = (jax.lax.dot(Th, Wl, precision=HIP)
-                         + jax.lax.dot(Tl, Wh, precision=HIP)
-                         + s2 * (Wh + Wl))
-                Rh, Rl = _two_sum(Kh.T, -Ph)
-                Rl = Rl + (Kl.T - Pl - small)
-                dW = cho_solve_blocked(L, Rh + Rl)
-                Wh, Wl = _df_add(Wh, Wl, dW, jnp.zeros_like(dW))
-            qh, ql = dot_diag_df(Kh.T, Kl.T, Wh, Wl)
+            Kh, Kl = self._df_gram(params_dict, xtest, x, desc)  # (t, n)
+            # compensated mean GEMV: same f32-accumulator floor as the fit
+            # residual (see fit above)
+            Mh, Ml = gemm_compensated(Kh, alpha, chunk=2048)
+            mu = Mh + (Ml + jax.lax.dot(Kl, alpha, precision=HIP))
+            kss = self.kernel_object.diag(xtest, params_dict)
+            V = tri_solve_blocked(L, Kh.T, precision=HIP)   # (n, t)
+            var = jnp.maximum(kss - jnp.sum(V * V, axis=0), 1e-30)
+            return mu, jnp.sqrt(var)[:, None]
+
+        def predict_refined(L, alpha, Th, Tl, x, xtest, params_dict, s):
+            """var_refine ≥ 1 path (r3): one HIGH cho_solve for W0, then
+            the fused df quadratic form q = Σ W0 ⊙ (B + R) — the
+            second-order identity q̃ = bᵀA⁻¹b − rᵀA⁻¹r makes the variance
+            error second order in W0's solve residual, so no df W
+            iteration and no second solve are needed (ops/
+            pallas_qform_df.py; replaces the r2 scheme that cost ~2 s and
+            two extra n³ solves per pass)."""
+            from stpy_tpu.ops.compensated import gemm_compensated
+            from stpy_tpu.ops.pallas_qform_df import qform_refined
+
+            Kh, Kl = self._df_gram(params_dict, xtest, x, desc)  # (t, n)
+            Mh, Ml = gemm_compensated(Kh, alpha, chunk=2048)
+            mu = Mh + (Ml + jax.lax.dot(Kl, alpha, precision=HIP))
+            kss = self.kernel_object.diag(xtest, params_dict)
+            # W0 only needs to leave a SMALL residual (error enters q at
+            # second order): HIGH (bf16x3) GEMM substitution is plenty and
+            # ~2x the HIGHEST rate
+            W0 = cho_solve_blocked(L, Kh.T,
+                                   precision=jax.lax.Precision.HIGH)
+            qh, ql = qform_refined(Th, Tl, W0, Kh.T, Kl.T, s)
             var = jnp.maximum((kss - qh) - ql, 1e-30)
             return mu, jnp.sqrt(var)[:, None]
 
         self._fit_fn = jax.jit(fit)
-        _pjit = jax.jit(predict)
-        self._predict_fn = lambda L, A, x, xt, pd: _pjit(
-            L, A, x, xt, pd, jnp.asarray(self.s, x.dtype)
-        )
+        if self._var_refine > 0:
+            _pjit = jax.jit(predict_refined)
+            self._predict_fn = lambda L, A, x, xt, pd: _pjit(
+                L, A, self._df_train[0], self._df_train[1], x, xt, pd,
+                jnp.asarray(self.s, x.dtype)
+            )
+        else:
+            _pjit = jax.jit(predict)
+            self._predict_fn = lambda L, A, x, xt, pd: _pjit(
+                L, A, x, xt, pd, jnp.asarray(self.s, x.dtype)
+            )
 
     def _build_jits(self):
         kernel = self.kernel_object
@@ -312,16 +337,25 @@ class GaussianProcess(Estimator, RandomProcess):
         if self._fit_fn is None:
             self._build_jits()
         if Sigma is None:
-            self.L, self.A, chol_ok, jitter_used = self._fit_fn(
+            out = self._fit_fn(
                 x, y, self.kernel_object.params_dict,
                 jnp.asarray(self.s, x.dtype),
             )
+            self.L, self.A, chol_ok, jitter_used = out[:4]
+            if len(out) == 6:   # double + var_refine: cached train df Gram
+                self._df_train = (out[4], out[5])
             self.fit_status = {
                 "cholesky_ok": bool(chol_ok),
                 "jitter_used": float(jitter_used),
                 "n": int(self.n),
             }
         else:
+            if self._precision == "double" and self._var_refine > 0:
+                raise NotImplementedError(
+                    "per-point Sigma noise is not supported with "
+                    "precision='double', var_refine>0 (the df fit models "
+                    "isotropic s only)"
+                )
             Sigma = as_array(Sigma)
             K = self.kernel_object.gram(x) + Sigma.T @ Sigma
             res = safe_cholesky(K)

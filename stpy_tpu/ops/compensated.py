@@ -89,28 +89,40 @@ def df_gemm(Ah: jnp.ndarray, Al: jnp.ndarray, B: jnp.ndarray,
     return _fast_two_sum(sh, sl + lo)
 
 
+def _df_sum_tree(h: jnp.ndarray, l: jnp.ndarray):
+    """Reduce axis 0 of an (hi, lo) pair with a PAIRWISE TwoSum tree —
+    log₂(k) vectorized VPU passes instead of a k-step sequential scan.
+
+    The r2 version scanned one row at a time: at k = 16,384 that is 16k
+    dependent micro-steps, which dominated the var_refine=1 predict cost
+    (~2 s — the reduction was latency-bound, not bandwidth-bound). The
+    tree does the same error-free accumulation in 14 halving passes
+    (error ~ depth·eps in the lo channel, BETTER than the linear scan's
+    k·eps worst case) at pure bandwidth cost.
+    """
+    k = h.shape[0]
+    kp = 1 << max(0, (k - 1).bit_length())
+    if kp != k:
+        pad = ((0, kp - k),) + ((0, 0),) * (h.ndim - 1)
+        h = jnp.pad(h, pad)
+        l = jnp.pad(l, pad)
+    while h.shape[0] > 1:
+        nh, e = _two_sum(h[0::2], h[1::2])
+        l = l[0::2] + l[1::2] + e
+        h = nh
+    return _fast_two_sum(h[0], l[0])
+
+
 def dot_diag_df(Ah: jnp.ndarray, Al: jnp.ndarray, Bh: jnp.ndarray,
                 Bl: jnp.ndarray):
     """diag(Aᵀ B) for df A, B of shape (k, n): per-column compensated dot.
 
     Products are TwoProd'd elementwise on the VPU (exact f32 splits) and
-    reduced over rows with a TwoSum scan — double-float accuracy for the
-    quadratic forms where predictive variance suffers catastrophic
-    cancellation (k** − k*ᵀK⁻¹k* with both terms O(1) and the difference
-    O(s²)). O(k·n) work, bandwidth-bound.
+    reduced over rows with a pairwise TwoSum tree (`_df_sum_tree`) —
+    double-float accuracy for the quadratic forms where predictive
+    variance suffers catastrophic cancellation (k** − k*ᵀK⁻¹k* with both
+    terms O(1) and the difference O(s²)). O(k·n) work, bandwidth-bound.
     """
     ph, pe = _two_prod(Ah, Bh)
     pe = pe + Ah * Bl + Al * Bh
-
-    def body(carry, rows):
-        sh, sl = carry
-        h, e = rows
-        nh, ne = _two_sum(sh, h)
-        return (nh, ne + sl + e), None
-
-    (sh, sl), _ = jax.lax.scan(
-        body,
-        (jnp.zeros(Ah.shape[1], Ah.dtype), jnp.zeros(Ah.shape[1], Ah.dtype)),
-        (ph, pe),
-    )
-    return sh, sl
+    return _df_sum_tree(ph, pe)
