@@ -107,7 +107,7 @@ def tri_solve(L: jnp.ndarray, b: jnp.ndarray, lower: bool = True) -> jnp.ndarray
 
 
 def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 512,
-                      precision=None) -> jnp.ndarray:
+                      precision=None, leaf_inv=None) -> jnp.ndarray:
     """Lower-triangular solve L X = B with a WIDE RHS, reformulated so the
     work is almost entirely dense GEMMs (XLA's native TPU triangular solve
     runs ~5x below the matmul roofline at large RHS and OOMs at compile
@@ -131,6 +131,12 @@ def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 512,
     error at n=16k (median 0.1%%; HIGHEST: max 0.05%%) while saving ~35%%
     wall time — measured vs a float64 host reference, docs/DESIGN.md §5.
     Pass jax.lax.Precision.HIGHEST for bit-critical uses.
+
+    `leaf_inv`: precomputed batched diagonal-block inverses from
+    `diag_block_invs(L, nb)` — pass the same array to several solves
+    against one factor (e.g. the alpha solve and the variance solve of a
+    GP fit+predict) to share the leaf work explicitly instead of hoping
+    XLA CSEs it across call sites.
     """
     if precision is None:
         precision = jax.lax.Precision.HIGH
@@ -141,36 +147,57 @@ def tri_solve_blocked(L: jnp.ndarray, B: jnp.ndarray, nb: int = 512,
         Lp = Lp.at[:n, :n].set(L)
         Lp = Lp.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
         Bp = jnp.pad(B, ((0, pad), (0, 0)))
-        return _tri_rec(Lp, Bp, nb, precision)[:n]
-    return _tri_rec(L, B, nb, precision)
+        Dinv = diag_block_invs(Lp, nb) if leaf_inv is None else leaf_inv
+        return _tri_rec(Lp, Bp, nb, precision, Dinv, 0)[:n]
+    Dinv = diag_block_invs(L, nb) if leaf_inv is None else leaf_inv
+    return _tri_rec(L, B, nb, precision, Dinv, 0)
 
 
-def _tri_rec(L, B, nb, precision):
+def diag_block_invs(L: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """Inverses of the (nb, nb) diagonal blocks of lower-triangular L as
+    one (n/nb, nb, nb) array — a SINGLE batched XLA triangular solve.
+
+    The blocked solves' leaves were the latency-bound part of the n=16k
+    variance trisolve (32 sequential 512² XLA trisolves inside the DAG);
+    batching them collapses that to one kernel launch, and passing the
+    result to `tri_solve_blocked`/`cho_solve_blocked` via `leaf_inv`
+    shares it across every solve against the same factor."""
+    n = L.shape[0]
+    k = n // nb
+    blocks = jnp.moveaxis(
+        jnp.diagonal(L.reshape(k, nb, k, nb), axis1=0, axis2=2), -1, 0
+    )
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=L.dtype), (k, nb, nb))
+    return jax.scipy.linalg.solve_triangular(blocks, eye, lower=True)
+
+
+def _tri_rec(L, B, nb, precision, Dinv=None, off=0):
     n = L.shape[0]
     k = n // nb
     if k == 1:
-        eye = jnp.eye(n, dtype=L.dtype)
-        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        if Dinv is None:
+            eye = jnp.eye(n, dtype=L.dtype)
+            Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        else:
+            Linv = Dinv[off // nb]
         return jax.lax.dot(Linv, B, precision=precision)
     h = (k // 2) * nb
-    X1 = _tri_rec(L[:h, :h], B[:h], nb, precision)
+    X1 = _tri_rec(L[:h, :h], B[:h], nb, precision, Dinv, off)
     B2 = B[h:] - jax.lax.dot(L[h:, :h], X1, precision=precision)
-    X2 = _tri_rec(L[h:, h:], B2, nb, precision)
+    X2 = _tri_rec(L[h:, h:], B2, nb, precision, Dinv, off + h)
     return jnp.concatenate([X1, X2], axis=0)
 
 
 def cho_solve_blocked(L: jnp.ndarray, b: jnp.ndarray, nb: int = 512,
-                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                      precision=jax.lax.Precision.HIGHEST,
+                      leaf_inv=None) -> jnp.ndarray:
     """(L Lᵀ)⁻¹ b via two recursive blocked triangular solves.
 
-    The backward (upper) solve reuses the lower-triangular recursion through
-    the flip identity: with J the reversal permutation, J Lᵀ J is lower
-    triangular, so Lᵀx = z  ⇔  x = J · solve_lower(J Lᵀ J, J z).
-
-    Point of this over `cho_solve` (XLA trisolve): inside a jit that also
-    calls `tri_solve_blocked` on the same factor, XLA CSEs the (nb, nb)
-    diagonal-block inverses between the two, making the alpha-solve nearly
-    free next to the wide variance solve. Defaults to HIGHEST — the solves
+    Both passes draw their (nb, nb) diagonal-block inverses from ONE
+    batched `diag_block_invs` call (the upper leaves are transposes of the
+    lower ones), shared further with any `tri_solve_blocked` on the same
+    factor via `leaf_inv` — making the alpha-solve nearly free next to the
+    wide variance solve of a GP predict. Defaults to HIGHEST — the solves
     are GEMV/bandwidth-bound, so the extra precision costs nothing.
     """
     n = b.shape[0]
@@ -180,25 +207,49 @@ def cho_solve_blocked(L: jnp.ndarray, b: jnp.ndarray, nb: int = 512,
         Lp = Lp.at[:n, :n].set(L)
         Lp = Lp.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
         bp = jnp.pad(b, ((0, pad), (0, 0)))
-        return cho_solve_blocked(Lp, bp, nb, precision)[:n]
-    z = _tri_rec(L, b, nb, precision)
-    return _tri_rec_upper(L.T, z, nb, precision)
+        return cho_solve_blocked(Lp, bp, nb, precision, leaf_inv)[:n]
+    Dinv = diag_block_invs(L, nb) if leaf_inv is None else leaf_inv
+    z = _tri_rec(L, b, nb, precision, Dinv, 0)
+    return _tri_rec_upper(L.T, z, nb, precision, Dinv, 0)
 
 
-def _tri_rec_upper(U, B, nb, precision):
+def tri_solve_blocked_t(L: jnp.ndarray, B: jnp.ndarray, nb: int = 512,
+                        precision=jax.lax.Precision.HIGHEST,
+                        leaf_inv=None) -> jnp.ndarray:
+    """Solve Lᵀ X = B (backward substitution) with the blocked recursion —
+    the second half of `cho_solve_blocked`, exposed so a pipeline can fold
+    the forward solve of several right-hand sides into ONE wide
+    `tri_solve_blocked` and finish only the columns that need Lᵀ (e.g. the
+    GP alpha) here. Accepts the same shared `leaf_inv`."""
+    n = B.shape[0]
+    pad = (-n) % nb
+    if pad:
+        Lp = jnp.zeros((n + pad, n + pad), L.dtype)
+        Lp = Lp.at[:n, :n].set(L)
+        Lp = Lp.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
+        Bp = jnp.pad(B, ((0, pad), (0, 0)))
+        return tri_solve_blocked_t(Lp, Bp, nb, precision, leaf_inv)[:n]
+    Dinv = diag_block_invs(L, nb) if leaf_inv is None else leaf_inv
+    return _tri_rec_upper(L.T, B, nb, precision, Dinv, 0)
+
+
+def _tri_rec_upper(U, B, nb, precision, Dinv=None, off=0):
     """Upper-triangular mirror of `_tri_rec` (backward substitution). The
-    leaf inverse is written as transpose-of-the-lower-inverse so XLA can CSE
-    it with the forward pass's leaf inverses of the same factor."""
+    leaf inverse is the transpose of the lower-leaf inverse, so the batched
+    `Dinv` (computed from L) serves both passes."""
     n = U.shape[0]
     k = n // nb
     if k == 1:
-        eye = jnp.eye(n, dtype=U.dtype)
-        Uinv = jax.scipy.linalg.solve_triangular(U.T, eye, lower=True).T
+        if Dinv is None:
+            eye = jnp.eye(n, dtype=U.dtype)
+            Uinv = jax.scipy.linalg.solve_triangular(U.T, eye, lower=True).T
+        else:
+            Uinv = Dinv[off // nb].T
         return jax.lax.dot(Uinv, B, precision=precision)
     h = (k // 2) * nb
-    X2 = _tri_rec_upper(U[h:, h:], B[h:], nb, precision)
+    X2 = _tri_rec_upper(U[h:, h:], B[h:], nb, precision, Dinv, off + h)
     B1 = B[:h] - jax.lax.dot(U[:h, h:], X2, precision=precision)
-    X1 = _tri_rec_upper(U[:h, :h], B1, nb, precision)
+    X1 = _tri_rec_upper(U[:h, :h], B1, nb, precision, Dinv, off)
     return jnp.concatenate([X1, X2], axis=0)
 
 

@@ -394,6 +394,10 @@ class DistributedExactGP:
             nl = x_local.shape[0]
             rows = jnp.arange(nl)
             grows = i * nl + rows                      # global row ids
+            if np_ == n:
+                # no padding: skip the mask (saves an (n/p, n) transient —
+                # matters when 2·n²/p already fills most of HBM)
+                return K_rows.at[rows, grows].add(s2)
             pad_row = (grows >= n)[:, None]
             pad_col = (jnp.arange(np_) >= n)[None, :]
             K_rows = jnp.where(pad_row | pad_col, 0.0, K_rows)
