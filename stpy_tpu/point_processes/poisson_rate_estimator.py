@@ -181,8 +181,14 @@ class PoissonRateEstimator(RateEstimator):
         sampling="proximal+prox", peeking=True, constraints=True,
         var_cor_on=True, samples_nystrom=15000, inverted_constraint=False,
         steps=None, dual=False, no_anchor_points=1024, U=1.0, opt="torch",
-        key=None, jit_pad=True,
+        key=None, jit_pad=True, map_max_iter=3000,
     ):
+        # map_max_iter: iteration cap of the sigmoid-reparam L-BFGS MAP
+        # solves. The box objectives carry ~1e12 curvature (RKHS
+        # reweighting), so gradient-norm/movement stops misfire and the
+        # solver runs to this cap — it IS the wall-time knob (measured on
+        # BASELINE config 4: 3000 ≈ 0.8-1.2 s/fit warm; the quality gates
+        # in tests/benchmarks hold down to ~1000 at ~3x less wall).
         self.process = process
         self.d = d
         self.s = s
@@ -201,6 +207,7 @@ class PoissonRateEstimator(RateEstimator):
         self.loglikelihood = 0.0
         self.dual = dual
         self.jit_pad = jit_pad
+        self.map_max_iter = int(map_max_iter)
         self.peeking = peeking
         self.no_anchor_points = no_anchor_points
         self.var_cor_on = var_cor_on
@@ -380,7 +387,7 @@ class PoissonRateEstimator(RateEstimator):
         return 0.5 * (lo + hi)
 
     # -- MAP fits --------------------------------------------------------------
-    def _box_solve(self, objective, l, u, w0=None, eps=1e-4, max_iter=3000):
+    def _box_solve(self, objective, l, u, w0=None, eps=1e-4, max_iter=None):
         """Box-constrained minimization via sigmoid reparameterization +
         L-BFGS. First-order projected methods stall here: the RKHS
         re-weighting term s/2·||Γ^{-1/2}w||² has curvature up to the squared
@@ -400,6 +407,8 @@ class PoissonRateEstimator(RateEstimator):
         def obj_z(z):
             return objective(l_arr + span * jax.nn.sigmoid(z))
 
+        if max_iter is None:
+            max_iter = self.map_max_iter
         res = minimize_lbfgs(obj_z, z0, max_iter=max_iter, tol=1e-9,
                              memory_size=30)
         return l_arr + span * jax.nn.sigmoid(res.x)
@@ -426,6 +435,7 @@ class PoissonRateEstimator(RateEstimator):
                 w_star = _map_count_record_lbfgs(
                     phis_raw, obs_raw, mult, invG_half,
                     jnp.asarray(self.s, default_dtype()), l, u, w0,
+                    max_iter=self.map_max_iter,
                 )
                 self.rate = invG_half @ w_star
                 return self.rate
@@ -450,6 +460,7 @@ class PoissonRateEstimator(RateEstimator):
                 w_star = _map_anchor_lbfgs(
                     phis_raw, tau, obs_raw, self.anchor_weights, invG_half,
                     jnp.asarray(self.s, default_dtype()), l, u, w0,
+                    max_iter=self.map_max_iter,
                 )
                 self.rate = invG_half @ w_star
                 return self.rate
@@ -502,6 +513,7 @@ class PoissonRateEstimator(RateEstimator):
             self.varphis @ invG_half, self.total_bucketized_time,
             self.total_bucketized_obs, mask, invG_half,
             jnp.asarray(self.s, default_dtype()), l, u, w0,
+            max_iter=self.map_max_iter,
         )
         self.rate = invG_half @ w_star
         return self.rate
@@ -532,6 +544,7 @@ class PoissonRateEstimator(RateEstimator):
             self.total_bucketized_obs,
             jnp.asarray(variances, default_dtype()), invG_half,
             jnp.asarray(self.s, default_dtype()), l, u, w0,
+            max_iter=self.map_max_iter,
         )
         self.rate = invG_half @ w_star
         return self.rate
