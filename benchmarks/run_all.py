@@ -152,8 +152,13 @@ def config4_poisson_2d():
             -jnp.sum(x**2, axis=1, keepdims=True) * 2
         ) + 0.3) * dt,
     )
+    # map_max_iter=1000: the L-BFGS runs to its cap on these ~1e12-curvature
+    # box objectives, so the cap is the wall knob — fitted totals are
+    # IDENTICAL at 1000/1500/3000 (CPU sweep, r3) and the r2 regression
+    # (0.7 → 1.2 s) was exactly this cap's cost on-device (VERDICT item 9).
     est = PoissonRateEstimator(
         process, hierarchy, d=2, m=8, kernel_object=k, B=4.0, s=1e-3,
+        map_max_iter=1000,
     )
     key = jax.random.PRNGKey(0)
     data = []
