@@ -191,7 +191,7 @@ class GaussianProcess(Estimator, RandomProcess):
         desc = self._df_atom_desc()
 
         def fit(x, y, params_dict, s):
-            from stpy_tpu.ops.compensated import gemm_compensated
+            from stpy_tpu.ops.compensated import gemv_df
             from stpy_tpu.ops.pallas_gram_df import _two_sum
 
             n = x.shape[0]
@@ -207,18 +207,16 @@ class GaussianProcess(Estimator, RandomProcess):
                 ok_ = jnp.all(jnp.isfinite(L_))
                 jit_ = default_jitter(A.dtype) * jnp.mean(jnp.diagonal(A))
             alpha = cho_solve_blocked(L_, y)
-            # refinement with a COMPENSATED df residual: the plain f32
-            # accumulator of a k=16k GEMV floors the residual at ~1e-5
-            # relative (heavier-tailed kernels like Matérn actually hit
-            # it — measured 1.8e-6 posterior mean in r3 before this);
-            # chunked-TwoSum products keep the residual df-accurate, so
-            # 3 steps converge to the (hi + lo)-system solution
+            # refinement with an EXACT df residual (gemv_df: TwoProd +
+            # pairwise-tree reduction, no accumulator floor): the earlier
+            # chunk-compensated MXU GEMV still carried within-chunk f32
+            # accumulation noise that floored matern/composite posterior
+            # means at 1.2-2.4e-6 (r3 batch C); with the exact product
+            # 2-3 steps converge to the (hi + lo)-system solution
             for _ in range(3):
-                Ph, Pl = gemm_compensated(Kh, alpha, chunk=2048)
-                rh, re = _two_sum(y, -Ph)
-                r = rh + (re - Pl
-                          - jax.lax.dot(Kl, alpha, precision=HIP)
-                          - (s * s) * alpha)
+                Ph, Pl = gemv_df(Kh, Kl, alpha)
+                rh, re = _two_sum(y, -Ph[:, None])
+                r = rh + (re - Pl[:, None] - (s * s) * alpha)
                 alpha = alpha + cho_solve_blocked(L_, r)
             if self._var_refine > 0:
                 # var_refine predict consumes the train df Gram — return it
@@ -228,13 +226,12 @@ class GaussianProcess(Estimator, RandomProcess):
             return L_, alpha, ok_, jit_
 
         def predict(L, alpha, x, xtest, params_dict, s):
-            from stpy_tpu.ops.compensated import gemm_compensated
+            from stpy_tpu.ops.compensated import gemv_df
 
             Kh, Kl = self._df_gram(params_dict, xtest, x, desc)  # (t, n)
-            # compensated mean GEMV: same f32-accumulator floor as the fit
-            # residual (see fit above)
-            Mh, Ml = gemm_compensated(Kh, alpha, chunk=2048)
-            mu = Mh + (Ml + jax.lax.dot(Kl, alpha, precision=HIP))
+            # exact df mean GEMV — no accumulator floor (see fit above)
+            Mh, Ml = gemv_df(Kh, Kl, alpha)
+            mu = (Mh + Ml)[:, None]
             kss = self.kernel_object.diag(xtest, params_dict)
             V = tri_solve_blocked(L, Kh.T, precision=HIP)   # (n, t)
             var = jnp.maximum(kss - jnp.sum(V * V, axis=0), 1e-30)
@@ -248,12 +245,12 @@ class GaussianProcess(Estimator, RandomProcess):
             iteration and no second solve are needed (ops/
             pallas_qform_df.py; replaces the r2 scheme that cost ~2 s and
             two extra n³ solves per pass)."""
-            from stpy_tpu.ops.compensated import gemm_compensated
+            from stpy_tpu.ops.compensated import gemv_df
             from stpy_tpu.ops.pallas_qform_df import qform_refined
 
             Kh, Kl = self._df_gram(params_dict, xtest, x, desc)  # (t, n)
-            Mh, Ml = gemm_compensated(Kh, alpha, chunk=2048)
-            mu = Mh + (Ml + jax.lax.dot(Kl, alpha, precision=HIP))
+            Mh, Ml = gemv_df(Kh, Kl, alpha)
+            mu = (Mh + Ml)[:, None]
             kss = self.kernel_object.diag(xtest, params_dict)
             # W0 only needs to leave a SMALL residual (error enters q at
             # second order): HIGH (bf16x3) GEMM substitution is plenty and

@@ -113,6 +113,50 @@ def _df_sum_tree(h: jnp.ndarray, l: jnp.ndarray):
     return _fast_two_sum(h[0], l[0])
 
 
+def _df_sum_tree_axis1(h: jnp.ndarray, l: jnp.ndarray):
+    """Axis-1 variant of `_df_sum_tree` (reduce the contraction dimension
+    of an (m, k) product array): same pairwise TwoSum tree, log₂(k)
+    vectorized passes."""
+    k = h.shape[1]
+    kp = 1 << max(0, (k - 1).bit_length())
+    if kp != k:
+        h = jnp.pad(h, ((0, 0), (0, kp - k)))
+        l = jnp.pad(l, ((0, 0), (0, kp - k)))
+    while h.shape[1] > 1:
+        nh, e = _two_sum(h[:, 0::2], h[:, 1::2])
+        l = l[:, 0::2] + l[:, 1::2] + e
+        h = nh
+    return _fast_two_sum(h[:, 0], l[:, 0])
+
+
+def gemv_df(Ah: jnp.ndarray, Al: jnp.ndarray, v: jnp.ndarray,
+            rows: int = 4096):
+    """EXACT double-float GEMV (Ah + Al)·v: TwoProd products on the VPU and
+    a pairwise TwoSum tree over the contraction — NO accumulator floor at
+    all (result error ~ depth·eps² ≈ 1e-13, vs ~1e-6 absolute for a
+    chunk-compensated MXU GEMV at k = 16k, whose within-chunk f32
+    accumulation was the measured floor of matern/composite double-mode
+    posterior means — r3).
+
+    Bandwidth-bound like any GEMV: ~3 streams of A instead of 1. Row
+    chunking (static python loop) bounds the (rows, k) df transients.
+    Returns (hi, lo) of shape (m,).
+    """
+    v = jnp.asarray(v).reshape(-1)
+    m = Ah.shape[0]
+    outs_h, outs_l = [], []
+    for r0 in range(0, m, rows):
+        ah, al = Ah[r0:r0 + rows], Al[r0:r0 + rows]
+        ph, pe = _two_prod(ah, v[None, :])
+        pe = pe + al * v[None, :]
+        oh, ol = _df_sum_tree_axis1(ph, pe)
+        outs_h.append(oh)
+        outs_l.append(ol)
+    if len(outs_h) == 1:
+        return outs_h[0], outs_l[0]
+    return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
+
+
 def dot_diag_df(Ah: jnp.ndarray, Al: jnp.ndarray, Bh: jnp.ndarray,
                 Bl: jnp.ndarray):
     """diag(Aᵀ B) for df A, B of shape (k, n): per-column compensated dot.

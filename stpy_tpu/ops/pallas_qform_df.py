@@ -205,12 +205,18 @@ def _qform_f64(Th, Tl, W0, Bh, Bl, s2):
 
 
 def qform_refined(Th, Tl, W0, Bh, Bl, s, *, block_m=512, block_n=512,
-                  block_k=512, interpret=None):
+                  block_k=256, interpret=None):
     """q ≈ diag(Bᵀ (Th+Tl+s²I)⁻¹ B) as a df pair (qh, ql), given an
     approximate solve W0 — second-order-accurate in W0's residual (see
     module docstring). Th/Tl: (n, n) df Gram; W0, Bh, Bl: (n, t); s: noise
     std (scalar). On CPU with x64 the exact f64 fallback runs instead
-    (same contract as ops/pallas_gram_df.gram_df)."""
+    (same contract as ops/pallas_gram_df.gram_df).
+
+    block_k=256 (not 512): the kernel keeps 8 tiles resident (2 A-tiles,
+    4 (n,t)-tiles, 2 scratch) plus input double-buffering — cubic 512
+    blocks exceed the 16 MB scoped-VMEM budget by ~2.8 MB at n=16k;
+    halving the k-tile fits with room to spare at no measured accuracy
+    cost (the EFT accumulator is per-k-step either way)."""
     Th = jnp.asarray(Th)
     s2 = jnp.asarray(s) ** 2
     on_tpu = jax.default_backend() == "tpu"
