@@ -9,7 +9,9 @@ from stpy_tpu.parallel.mesh import (
 from stpy_tpu.parallel.iterative import (
     IterativeGP,
     cg_solve,
+    lowrank_eigen_precond,
     make_pivchol_precond,
+    nystrom_precond_from_cross,
     pivoted_cholesky_kernel,
 )
 from stpy_tpu.parallel.slq import slq_logdet, slq_trace_fn, evidence_matvec_only

@@ -104,7 +104,7 @@ def _atom_trace_gamma(xa, W, Z, gamma, kappa, family, nu):
 
 @functools.lru_cache(maxsize=None)
 def _evg_core(desc, probes, lanczos_iters, cg_tol, cg_maxiter,
-              compute_value, probe_tol, probe_maxiter):
+              compute_value, probe_tol, probe_maxiter, precond_rank):
     """One compiled program per static config: hyperparameters are TRACED
     arguments, so a gradient-descent loop over (γ_a, κ_a, σ) reuses the
     compiled step (measured 22.8 s → ~1.5 s per warm step at n = 65k).
@@ -117,14 +117,38 @@ def _evg_core(desc, probes, lanczos_iters, cg_tol, cg_maxiter,
             probes=probes, lanczos_iters=lanczos_iters, cg_tol=cg_tol,
             cg_maxiter=cg_maxiter, compute_value=compute_value,
             probe_tol=probe_tol, probe_maxiter=probe_maxiter,
+            precond_rank=precond_rank,
         )
 
     return core
 
 
+def _sum_cross_gram(xs_atoms, desc, gammas, kappas, idx, dtype):
+    """K[:, idx] for A's kernel part (Σ_a κ_a K_a) — the (n, r) landmark
+    cross-Gram feeding the Nyström preconditioner. Direct VPU formulas via
+    the same shape functions as the Pallas Gram, so it is consistent with
+    the matvec to roundoff."""
+    from stpy_tpu.ops.pallas_gram import _shape_fn
+
+    C = None
+    for (fam, nu, _), xa, g, k in zip(desc, xs_atoms, gammas, kappas):
+        xs = xa / g
+        ys = xs[idx]
+        sq = jnp.maximum(
+            jnp.sum(xs * xs, axis=1)[:, None]
+            + jnp.sum(ys * ys, axis=1)[None, :]
+            - 2.0 * (xs @ ys.T),
+            0.0,
+        )
+        Ca = (k * _shape_fn(fam, float(nu))(sq)).astype(dtype)
+        C = Ca if C is None else C + Ca
+    return C
+
+
 def _evidence_body_sum(
     x, yv, gammas, kappas, noise, key, *, desc, probes, lanczos_iters,
     cg_tol, cg_maxiter, compute_value, probe_tol, probe_maxiter,
+    precond_rank=0,
 ):
     n = yv.shape[0]
     xs_atoms = [
@@ -146,7 +170,18 @@ def _evidence_body_sum(
                                     kappa=k, nu=nu)
         return out
 
-    alpha, _, _ = cg_solve(Av, yv, tol=cg_tol, maxiter=cg_maxiter)
+    M_inv = None
+    if precond_rank > 0:
+        from stpy_tpu.parallel.iterative import nystrom_precond_from_cross
+
+        r = int(min(precond_rank, n))
+        idx = jax.random.choice(jax.random.fold_in(key, 7), n, (r,),
+                                replace=False)
+        C = _sum_cross_gram(xs_atoms, desc, gammas, kappas, idx, yv.dtype)
+        M_inv = nystrom_precond_from_cross(C, idx, noise)
+
+    alpha, _, _ = cg_solve(Av, yv, M_inv=M_inv, tol=cg_tol,
+                           maxiter=cg_maxiter)
 
     # value: ½ yᵀα + ½ logdet (SLQ) + (n/2) log 2π. The logdet is only
     # needed for reporting — gradient steps can skip it (compute_value=False)
@@ -163,7 +198,8 @@ def _evidence_body_sum(
     Z = jax.random.rademacher(
         jax.random.fold_in(key, 1), (n, probes)
     ).astype(yv.dtype)
-    Wz, _ = cg_solve_block(Amm, Z, tol=probe_tol, maxiter=probe_maxiter)
+    Wz, _ = cg_solve_block(Amm, Z, M_inv=M_inv, tol=probe_tol,
+                           maxiter=probe_maxiter)
 
     g_gammas, g_kappas = [], []
     for (fam, nu, _), xa, g, k in zip(desc, xs_atoms, gammas, kappas):
@@ -188,13 +224,19 @@ def _evidence_body_sum(
 def evidence_value_and_grad_sum(
     x, y, desc, gammas, kappas, noise, *,
     probes=16, lanczos_iters=30, cg_tol=1e-6, cg_maxiter=500, key=None,
-    compute_value=True, probe_tol=None, probe_maxiter=100,
+    compute_value=True, probe_tol=None, probe_maxiter=100, precond_rank=0,
 ):
     """NLL and gradients for A = Σ_a κ_a K_a(γ_a) + σ²I over fused atoms.
 
     `desc` is a tuple of (family, nu, group|None) per atom; `gammas` a list
     of scalars or per-dim (ARD) vectors. Returns
     (nll, {"gammas": [...], "kappas": [...], "noise": g}).
+
+    `precond_rank` > 0 builds a rank-r randomized-Nyström preconditioner
+    (fresh landmarks per call, consistent with the CURRENT traced
+    hyperparameters) for the alpha and probe CG solves — essential for
+    ill-conditioned systems (small noise / long lengthscales) where plain
+    CG stalls before `cg_maxiter`.
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     yv = jnp.asarray(y).reshape(-1)
@@ -205,7 +247,7 @@ def evidence_value_and_grad_sum(
     )
     core = _evg_core(desc, int(probes), int(lanczos_iters), float(cg_tol),
                      int(cg_maxiter), bool(compute_value), float(probe_tol),
-                     int(probe_maxiter))
+                     int(probe_maxiter), int(precond_rank))
     gammas = tuple(jnp.asarray(g, yv.dtype) for g in gammas)
     kappas = tuple(jnp.asarray(k, yv.dtype) for k in kappas)
     return core(jnp.asarray(x), yv, gammas, kappas,
@@ -215,7 +257,7 @@ def evidence_value_and_grad_sum(
 def evidence_value_and_grad_lazy(
     x, y, gamma, kappa=1.0, noise=0.1, *, family="se", nu=1.5,
     probes=16, lanczos_iters=30, cg_tol=1e-6, cg_maxiter=500, key=None,
-    compute_value=True, probe_tol=None, probe_maxiter=100,
+    compute_value=True, probe_tol=None, probe_maxiter=100, precond_rank=0,
 ):
     """Single-atom wrapper around `evidence_value_and_grad_sum`: negative
     log evidence and its gradient w.r.t. (gamma, kappa, noise), using only
@@ -237,6 +279,7 @@ def evidence_value_and_grad_lazy(
         probes=probes, lanczos_iters=lanczos_iters, cg_tol=cg_tol,
         cg_maxiter=cg_maxiter, key=key, compute_value=compute_value,
         probe_tol=probe_tol, probe_maxiter=probe_maxiter,
+        precond_rank=precond_rank,
     )
     return nll, {"gamma": g["gammas"][0], "kappa": g["kappas"][0],
                  "noise": g["noise"]}
@@ -249,7 +292,7 @@ def evidence_value_and_grad_lazy(
 @functools.lru_cache(maxsize=None)
 def _evg_general_core(ko_id, chunk, probes, cg_tol, cg_maxiter,
                       probe_tol, probe_maxiter, compute_value,
-                      lanczos_iters):
+                      lanczos_iters, precond_rank):
     kernel_object = _KO_REGISTRY[ko_id]
 
     @jax.jit
@@ -267,14 +310,27 @@ def _evg_general_core(ko_id, chunk, probes, cg_tol, cg_maxiter,
         def Av(v):
             return mv(v, pd0) + (s0 * s0) * v.reshape(-1)
 
-        alpha, _, _ = cg_solve(Av, yv, tol=cg_tol, maxiter=cg_maxiter)
+        M_inv = None
+        if precond_rank > 0:
+            from stpy_tpu.parallel.iterative import (
+                nystrom_precond_from_cross,
+            )
+
+            r = int(min(precond_rank, n))
+            idx = jax.random.choice(jax.random.fold_in(key, 7), n, (r,),
+                                    replace=False)
+            C = kernel_object.eval_params(pd0, x, x[idx])   # (n, r)
+            M_inv = nystrom_precond_from_cross(C, idx, s0)
+
+        alpha, _, _ = cg_solve(Av, yv, M_inv=M_inv, tol=cg_tol,
+                               maxiter=cg_maxiter)
 
         Z = jax.random.rademacher(
             jax.random.fold_in(key, 1), (n, probes)
         ).astype(yv.dtype)
         W, _ = cg_solve_block(
             lambda V: mm(V, pd0) + (s0 * s0) * V,
-            Z, tol=probe_tol, maxiter=probe_maxiter,
+            Z, M_inv=M_inv, tol=probe_tol, maxiter=probe_maxiter,
         )
 
         def surrogate(pd, s):
@@ -307,6 +363,7 @@ def evidence_value_and_grad_general(
     kernel_object, x, y, params_dict=None, noise=0.1, *,
     chunk=2048, probes=16, lanczos_iters=30, cg_tol=1e-6, cg_maxiter=500,
     probe_tol=None, probe_maxiter=100, key=None, compute_value=True,
+    precond_rank=0,
 ):
     """Matrix-free evidence gradient for ANY KernelFunction — products,
     additive groups, laplace, algebra — w.r.t. the FULL params pytree and
@@ -328,7 +385,7 @@ def evidence_value_and_grad_general(
     core = _evg_general_core(
         ko_id, int(min(chunk, yv.shape[0])), int(probes), float(cg_tol),
         int(cg_maxiter), float(probe_tol), int(probe_maxiter),
-        bool(compute_value), int(lanczos_iters),
+        bool(compute_value), int(lanczos_iters), int(precond_rank),
     )
     return core(jnp.asarray(x), yv, pd, jnp.asarray(noise, yv.dtype), key)
 
@@ -380,7 +437,7 @@ def fit_evidence_lazy(
     x, y, gamma0, kappa0=1.0, noise0=0.1, *, family="se", nu=1.5,
     optimize=("gamma", "noise"), steps=30, lr=0.1, probes=64,
     cg_tol=1e-5, cg_maxiter=300, probe_tol=1e-2, probe_maxiter=60,
-    tol=1e-2, final_value=True, key=None, verbose=False,
+    tol=1e-2, final_value=True, key=None, verbose=False, precond_rank=0,
 ):
     """Full hyperparameter fit on the matrix-free evidence: Adam in
     log-space over any subset of (gamma, kappa, noise). `gamma0` may be a
@@ -435,7 +492,7 @@ def fit_evidence_lazy(
             cg_maxiter=cg_maxiter,
             key=jax.random.fold_in(key, step_counter[0]),
             compute_value=False, probe_tol=probe_tol,
-            probe_maxiter=probe_maxiter,
+            probe_maxiter=probe_maxiter, precond_rank=precond_rank,
         )
         return {k: np.asarray(grads[k]) for k in names}
 
@@ -459,7 +516,7 @@ def fit_evidence_lazy(
                 family=family, nu=nu, probes=probes, cg_tol=cg_tol,
                 cg_maxiter=cg_maxiter, key=jax.random.fold_in(key, 0),
                 compute_value=True, probe_tol=probe_tol,
-                probe_maxiter=probe_maxiter,
+                probe_maxiter=probe_maxiter, precond_rank=precond_rank,
             )
             nll = float(val)
         except Exception as e:  # noqa: BLE001 — host-side driver; the
@@ -480,7 +537,7 @@ def fit_evidence_sum(
     x, y, desc, gammas0, kappas0, noise0, *,
     optimize=("gamma", "noise"), steps=30, lr=0.1, probes=64,
     cg_tol=1e-5, cg_maxiter=300, probe_tol=1e-2, probe_maxiter=60,
-    tol=1e-2, key=None, verbose=False,
+    tol=1e-2, key=None, verbose=False, precond_rank=0,
 ):
     """Matrix-free hyperfit for a SUM of fused atoms (kernel algebra
     `k1 + k2`, each atom with its own γ_a scalar/vector and κ_a).
@@ -518,7 +575,7 @@ def fit_evidence_sum(
             probes=probes, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
             key=jax.random.fold_in(key, step_counter[0]),
             compute_value=False, probe_tol=probe_tol,
-            probe_maxiter=probe_maxiter,
+            probe_maxiter=probe_maxiter, precond_rank=precond_rank,
         )
         out = {"noise": np.asarray(grads["noise"])}
         for a in range(A):
@@ -541,7 +598,7 @@ def fit_evidence_general(
     kernel_object, x, y, noise0=0.1, *,
     optimize=("gamma", "noise"), steps=30, lr=0.1, probes=32,
     chunk=2048, cg_tol=1e-5, cg_maxiter=300, probe_tol=1e-2,
-    probe_maxiter=60, tol=1e-2, key=None, verbose=False,
+    probe_maxiter=60, tol=1e-2, key=None, verbose=False, precond_rank=0,
 ):
     """Matrix-free hyperfit for ANY KernelFunction (products, groups,
     laplace, …): log-space Adam on `evidence_value_and_grad_general`
@@ -600,7 +657,7 @@ def fit_evidence_general(
             cg_maxiter=cg_maxiter, probe_tol=probe_tol,
             probe_maxiter=probe_maxiter,
             key=jax.random.fold_in(key, step_counter[0]),
-            compute_value=False,
+            compute_value=False, precond_rank=precond_rank,
         )
         out = {}
         for name, (ak, pk) in flat.items():

@@ -143,23 +143,59 @@ def pivoted_cholesky_kernel(kernel_object, x, rank, params_dict=None):
     return Lm
 
 
-def make_pivchol_precond(Lm, noise):
-    """Woodbury apply of (σ²I + LmᵀLm)⁻¹ — the preconditioner companion of
-    `pivoted_cholesky_kernel`. Accepts (n,) vectors or (n, r) blocks; cost
-    per apply = two (rank, n) GEMMs + one (rank, rank) solve."""
+def lowrank_eigen_precond(B, noise):
+    """SPD apply of (BBᵀ + σ²I)⁻¹ in EIGENFORM for a low-rank factor B
+    (n, r): eigendecompose the small Gram BᵀB = Q Λ Qᵀ, lift U = B Q Λ^{-½},
+    then  M⁻¹v = (v − U diag(λ/(λ+σ²)) Uᵀv)/σ².
+
+    Why not Cholesky-Woodbury on (σ²I + BᵀB): that small matrix has
+    condition λmax/σ² — ~7e5 for a 65k-point smooth kernel at σ=0.2 —
+    and its f32 factor-solve error (u·κ ≈ 7%) makes the implied M⁻¹
+    effectively indefinite, which BREAKS CG (measured: the 65k sum-kernel
+    PCG went from a 4.7e-2 stall to 2.2e-1, r3 batch C4). The eigenform
+    stays exactly SPD for ANY spectrum clamp — eigenvector noise in the
+    small eigenvalues only degrades preconditioner QUALITY, never CG
+    validity. Apply cost: two (n, r) GEMMs."""
+    lam, Q = jnp.linalg.eigh(B.T @ B)
+    lam = jnp.maximum(lam, 0.0)
+    U = B @ (Q * jax.lax.rsqrt(lam + 1e-30)[None, :])
     s2 = noise * noise
-    r = Lm.shape[0]
-    small = s2 * jnp.eye(r, dtype=Lm.dtype) + Lm @ Lm.T
-    c = jnp.linalg.cholesky(small)
+    coef = lam / (lam + s2)
 
     def M_inv(rhs):
         rhs2 = rhs if rhs.ndim == 2 else rhs[:, None]
-        t = Lm @ rhs2
-        u = jax.scipy.linalg.cho_solve((c, True), t)
-        out = (rhs2 - Lm.T @ u) / s2
+        t = U.T @ rhs2
+        out = (rhs2 - U @ (coef[:, None] * t)) / s2
         return out if rhs.ndim == 2 else out.reshape(rhs.shape)
 
     return M_inv
+
+
+def make_pivchol_precond(Lm, noise):
+    """Preconditioner companion of `pivoted_cholesky_kernel`: SPD eigenform
+    apply of (LmᵀLm + σ²I)⁻¹ (see `lowrank_eigen_precond` for why not
+    Cholesky-Woodbury). Accepts (n,) vectors or (n, r) blocks."""
+    return lowrank_eigen_precond(Lm.T, noise)
+
+
+def nystrom_precond_from_cross(C, idx, noise, shift=1e-6):
+    """Randomized-Nyström preconditioner (Frangella–Tropp–Udell style) from
+    a landmark cross-Gram: given C = K[:, idx] (n, r) for r landmark rows
+    `idx`, build the apply of (K_nys + σ²I)⁻¹ with
+    K_nys = C K[idx, idx]⁺ Cᵀ.
+
+    Fully batched — one (r, r) eigendecomposition for the pseudo-inverse
+    (clamped at `shift`·λmax: smooth kernels make K[idx, idx] numerically
+    singular), one (n, r) GEMM, then the shared SPD eigenform apply — so
+    unlike the greedy `pivoted_cholesky_kernel` there is NO sequential
+    rank loop, which makes it the right construction INSIDE a jitted
+    evidence step whose hyperparameters (and hence the preconditioner)
+    change every call (parallel/bbmm.py). Apply cost: two (n, r) GEMMs."""
+    Wm = C[idx]                                     # (r, r) = K[idx, idx]
+    lw, Qw = jnp.linalg.eigh(Wm)
+    lw = jnp.maximum(lw, shift * jnp.maximum(lw[-1], 1e-30))
+    B = C @ (Qw * jax.lax.rsqrt(lw)[None, :])       # C W^{-1/2}
+    return lowrank_eigen_precond(B, noise)
 
 
 class IterativeGP:

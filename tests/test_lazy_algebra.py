@@ -474,3 +474,69 @@ def test_fit_evidence_lazy_ard_recovers_anisotropy():
                                    out["noise"]))
     val_start = float(_dense_nll_ard(x, yv, jnp.ones(2), 1.0, 0.3))
     assert val_ard < val_start - 5.0
+
+
+def test_nystrom_precond_evidence_solves():
+    """Randomized-Nystrom preconditioning (precond_rank>0) slashes CG
+    iterations on an ill-conditioned system and leaves the BBMM evidence
+    value/gradients unchanged (the preconditioner only accelerates the
+    solves). Guards the r3 fix for the 65k stalled hyperfit."""
+    from stpy_tpu.parallel import cg_solve, nystrom_precond_from_cross
+    from stpy_tpu.parallel.bbmm import evidence_value_and_grad_lazy
+
+    rng = np.random.default_rng(71)
+    n, d, s, gamma = 500, 2, 0.03, 0.9
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)))
+    sq = jnp.maximum(jnp.sum(x * x, 1)[:, None] + jnp.sum(x * x, 1)[None, :]
+                     - 2 * x @ x.T, 0)
+    K = jnp.exp(-sq / (2 * gamma * gamma))
+    A = K + s * s * jnp.eye(n)
+    yv = jnp.sin(3 * x[:, 0])
+
+    mv = lambda v: A @ v
+    _, it0, _ = cg_solve(mv, yv, tol=1e-8, maxiter=3000)
+    idx = jnp.asarray(rng.choice(n, 100, replace=False))
+    M_inv = nystrom_precond_from_cross(K[:, idx], idx, jnp.asarray(s))
+    sol, it1, _ = cg_solve(mv, yv, M_inv=M_inv, tol=1e-8, maxiter=3000)
+    assert int(it1) < int(it0) / 4, (int(it1), int(it0))
+    ref = jnp.linalg.solve(A, yv)
+    # residual-based stop: solution error ~ tol·||b||/λmin ≈ 1e-5 here
+    assert float(jnp.max(jnp.abs(sol - ref))) < 1e-4
+
+    kw = dict(noise=s, cg_tol=1e-8, cg_maxiter=3000, probes=32,
+              probe_maxiter=3000, probe_tol=1e-8)
+    nll0, g0 = evidence_value_and_grad_lazy(x, yv, gamma, **kw)
+    nll1, g1 = evidence_value_and_grad_lazy(x, yv, gamma, precond_rank=100,
+                                            **kw)
+    assert abs(float(nll0) - float(nll1)) < 1e-4 * abs(float(nll0))
+    for k in g0:
+        a, b = float(jnp.asarray(g0[k]).ravel()[0]), float(
+            jnp.asarray(g1[k]).ravel()[0])
+        assert abs(a - b) < 1e-5 * max(1.0, abs(a)), (k, a, b)
+
+
+def test_nystrom_precond_general_kernel_path():
+    """precond_rank on the any-kernel (chunked autodiff) evidence tier:
+    gradients match the unpreconditioned run for a product kernel."""
+    from stpy_tpu.parallel.bbmm import evidence_value_and_grad_general
+
+    rng = np.random.default_rng(72)
+    n = 300
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    yv = jnp.asarray(np.sin(4 * np.asarray(x)[:, 0])
+                     + 0.1 * rng.standard_normal(n))
+    k = (KernelFunction(kernel_name="squared_exponential", gamma=0.7, d=2)
+         * KernelFunction(kernel_name="matern", gamma=1.2, nu=1.5, d=2))
+
+    kw = dict(noise=0.05, chunk=128, probes=16, cg_tol=1e-8,
+              cg_maxiter=2000, probe_tol=1e-8, probe_maxiter=2000,
+              key=jax.random.PRNGKey(5))
+    nll0, g0 = evidence_value_and_grad_general(k, x, yv, **kw)
+    nll1, g1 = evidence_value_and_grad_general(k, x, yv, precond_rank=80,
+                                               **kw)
+    assert abs(float(nll0) - float(nll1)) < 1e-4 * abs(float(nll0))
+    flat0 = jax.tree_util.tree_leaves(g0["params"])
+    flat1 = jax.tree_util.tree_leaves(g1["params"])
+    for a, b in zip(flat0, flat1):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * max(
+            1.0, float(jnp.max(jnp.abs(a)))), (a, b)
