@@ -58,7 +58,15 @@ def matern64(sq, gamma, nu, kappa=1.0):
     return kappa * (P * np.exp(-t) if nu != 0.5 else np.exp(-t))
 
 
-def host_reference(k64, xh, yh, xt, s):
+def host_reference(k64, xh, yh, xt, s, cache=None):
+    """f64 posterior reference; ~10 min at n=16k (single-thread trisolve),
+    so cache to disk keyed by `cache` — reruns of a killed batch reuse it."""
+    if cache is not None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            f".ref_{cache}.npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            return z["mu64"], z["var64"]
     K = k64(xh, xh)
     n = K.shape[0]
     L64 = np.linalg.cholesky(K + s * s * np.eye(n))
@@ -70,6 +78,8 @@ def host_reference(k64, xh, yh, xt, s):
     kss = np.diag(k64(xt[:1], xt[:1]))[0]
     V64 = solve_triangular(L64, Ks.T, lower=True)
     var64 = np.maximum(kss - (V64**2).sum(0), 1e-30)
+    if cache is not None:
+        np.savez(path, mu64=mu64, var64=var64)
     return mu64, var64
 
 
@@ -107,7 +117,8 @@ def c1_double_accuracy(n=16384, d=8, s=0.1):
     ]
     for name, mk, k64 in cases:
         print(f"building f64 reference for {name} ...", flush=True)
-        mu64, var64 = host_reference(k64, xh, yh, xt, s)
+        mu64, var64 = host_reference(k64, xh, yh, xt, s,
+                                     cache=f"c1_{name}_{n}")
         for vr in (0, 1):
             try:
                 gp = GaussianProcess(kernel=mk(), s=s, precision="double",
@@ -141,7 +152,7 @@ def c2_bench_variants(n=16384, d=8, gamma=0.5, s=0.1):
     def k64(a, b):
         return np.exp(-sq64(a, b) / (2 * gamma * gamma))
 
-    mu64, var64 = host_reference(k64, xh, yh, xt, s)
+    mu64, var64 = host_reference(k64, xh, yh, xt, s, cache=f"c2_se_{n}")
     x, y, xtj = (jnp.asarray(xh, jnp.float32), jnp.asarray(yh, jnp.float32),
                  jnp.asarray(xt, jnp.float32))
     kernel = KernelFunction(kernel_name="squared_exponential", gamma=gamma,
@@ -198,7 +209,14 @@ def c2_bench_variants(n=16384, d=8, gamma=0.5, s=0.1):
             traceback.print_exc()
 
 
-def c3_dist_32k(n=32768, d=2, s=0.1):
+def c3_dist_32k(n=16384, d=2, s=0.1):
+    # n=16384 (not 32k): at p=1 the panels path's explicit per-device state
+    # is K_rows + L + panel workspace ≈ 3·n² — 12 GB at 32k, which OOMs
+    # one 16 GB chip (measured twice). Single-chip 32k belongs to the
+    # DENSE jitter_ladder=False path (613 ms, RESULTS.md); the O(n²/p)
+    # law itself is measured on the 8-virtual-device mesh
+    # (exp_dist_capacity). This run is the real-chip sanity of the
+    # sharded path.
     from jax.sharding import Mesh
     from stpy_tpu.kernels import KernelFunction
     from stpy_tpu.parallel import DistributedExactGP
@@ -216,12 +234,15 @@ def c3_dist_32k(n=32768, d=2, s=0.1):
     wall_pred, (mu, sd) = timed(lambda: gp.mean_std(xt))
     ms = jax.devices()[0].memory_stats() or {}
     peak = ms.get("peak_bytes_in_use", 0) / 2**30
-    print(f"dist n=32k panels p=1: fit {wall_fit:.1f}s (inc compile), "
+    print(f"dist n={n} panels p=1: fit {wall_fit:.1f}s (inc compile), "
           f"predict {wall_pred:.1f}s, peak {peak:.2f} GiB, "
           f"mu[:3]={np.asarray(mu[:3]).ravel().round(4)}", flush=True)
 
 
-def c4_lazy_sum_65k(n=65536, d=3, s=0.2, rank=256):
+def c4_lazy_sum_65k(n=65536, d=3, s=0.2, rank=512):
+    # rank 512 + the SPD eigenform apply (the f32 Cholesky-Woodbury apply
+    # at this scale was effectively indefinite and made PCG WORSE —
+    # lowrank_eigen_precond docstring has the numbers)
     from stpy_tpu.kernels import KernelFunction
     from stpy_tpu.parallel import IterativeGP
 
