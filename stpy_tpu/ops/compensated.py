@@ -141,7 +141,17 @@ def gemv_df(Ah: jnp.ndarray, Al: jnp.ndarray, v: jnp.ndarray,
     Bandwidth-bound like any GEMV: ~3 streams of A instead of 1. Row
     chunking (static python loop) bounds the (rows, k) df transients.
     Returns (hi, lo) of shape (m,).
+
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/pallas_gemv_df.gemv_df_fused): identical arithmetic with the
+    TwoProd transients held in VMEM — one HBM read of (Ah, Al) per call
+    instead of ~5 (the HLO form cost ~50-60 ms per call at n=16k, and
+    the double path calls it four times per fit+predict).
     """
+    if jax.default_backend() == "tpu":
+        from stpy_tpu.ops.pallas_gemv_df import gemv_df_fused
+
+        return gemv_df_fused(Ah, Al, v)
     v = jnp.asarray(v).reshape(-1)
     m = Ah.shape[0]
     outs_h, outs_l = [], []

@@ -168,6 +168,14 @@ def _qform_pallas(Th, Tl, W0, Bh, Bl, s2, *, block_m: int, block_n: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # the finalize phase keeps ~6 (block_m, block_n) EFT transients
+            # live on the kernel stack on top of the double-buffered input
+            # windows — 20.75 MiB scoped at 512-tiles, over Mosaic's
+            # conservative 16 MiB default budget (measured compile OOM,
+            # r3 batch C/D). The chip has 128 MiB VMEM; raise the scoped
+            # budget instead of shrinking tiles (smaller tiles cost MXU
+            # efficiency on the HIGHEST main product).
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=7 * npad * npad * tpad,   # bf16x6 main + 1 lo pass, 2mnk/2
@@ -205,18 +213,20 @@ def _qform_f64(Th, Tl, W0, Bh, Bl, s2):
 
 
 def qform_refined(Th, Tl, W0, Bh, Bl, s, *, block_m=512, block_n=512,
-                  block_k=256, interpret=None):
+                  block_k=512, interpret=None):
     """q ≈ diag(Bᵀ (Th+Tl+s²I)⁻¹ B) as a df pair (qh, ql), given an
     approximate solve W0 — second-order-accurate in W0's residual (see
     module docstring). Th/Tl: (n, n) df Gram; W0, Bh, Bl: (n, t); s: noise
     std (scalar). On CPU with x64 the exact f64 fallback runs instead
     (same contract as ops/pallas_gram_df.gram_df).
 
-    block_k=256 (not 512): the kernel keeps 8 tiles resident (2 A-tiles,
-    4 (n,t)-tiles, 2 scratch) plus input double-buffering — cubic 512
-    blocks exceed the 16 MB scoped-VMEM budget by ~2.8 MB at n=16k;
-    halving the k-tile fits with room to spare at no measured accuracy
-    cost (the EFT accumulator is per-k-step either way)."""
+    Cubic 512 tiles keep 8 windows resident (2 A-tiles, 4 (n,t)-tiles,
+    2 scratch) plus ~6 finalize EFT transients — ~21 MiB of scoped VMEM,
+    over Mosaic's conservative 16 MiB default; the pallas_call raises
+    `vmem_limit_bytes` to 64 MiB (the chip has 128 MiB) rather than
+    shrinking tiles, which was measured to make the scoped footprint
+    WORSE (bk=256 → 20.75 MiB vs bk=512 → 18.76 MiB) while cutting the
+    HIGHEST main product's MXU efficiency."""
     Th = jnp.asarray(Th)
     s2 = jnp.asarray(s) ** 2
     on_tpu = jax.default_backend() == "tpu"

@@ -144,3 +144,52 @@ def test_qform_pallas_kernel_matches_f64():
     assert np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-3)) < 2e-6
     # and the estimate itself recovers the true quadratic form
     assert np.max(np.abs(got - q_true) / q_true) < 2e-5
+
+
+def test_gemv_df_fused_matches_f64():
+    """The fused Pallas df GEMV (interpret mode) matches the f64 GEMV of
+    the full (hi + lo) matrix — covering the lane-tree reduction, the
+    cross-k-tile EFT accumulator, and the caller-side 128-lane fold, with
+    non-aligned shapes forcing the zero-padding path.
+
+    Bound: 5e-7 relative, NOT df-exact — XLA:CPU contracts the kernel's
+    TwoProd multiplies into the consuming adds when the products are not
+    materialized (verified: writing `ph` straight to an output reproduces
+    the plain-HLO values bit-exactly; letting it flow into the lane tree
+    shifts fl(a·v + x) by one product-rounding, ~eps·|a·v|). That is an
+    interpret-mode artifact: the Mosaic TPU lowering keeps EFT intact
+    (the same bare-form arithmetic in ops/pallas_gram_df measured 2.6e-9
+    per entry on-device), and the on-device double-mode posterior means
+    (9.7e-8 at n=16k vs host f64, benchmarks/exp_r3_batch_c.py C1) are
+    the real exactness assertion. The interpret run still catches every
+    structural bug (wrong block indexing, dropped accumulator or lo
+    stream, bad padding): any of those costs >=1e-5 here, 20x+ the
+    bound."""
+    from stpy_tpu.ops.compensated import gemv_df
+    from stpy_tpu.ops.pallas_gemv_df import gemv_df_fused
+
+    rng = np.random.default_rng(7)
+    m, k = 300, 700
+    A64 = np.exp(-((rng.uniform(-1, 1, (m, k))) ** 2)) * 3.0
+    Ah = A64.astype(np.float32)
+    Al = (A64 - Ah.astype(np.float64)).astype(np.float32)
+    v = rng.standard_normal(k).astype(np.float32)
+    want = A64 @ v.astype(np.float64)
+
+    oh, ol = gemv_df_fused(jnp.asarray(Ah), jnp.asarray(Al), jnp.asarray(v),
+                           block_m=128, block_k=256, interpret=True)
+    got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 5e-7
+
+    # agrees with the HLO tree implementation to the same bound (the HLO
+    # tree itself is df-exact vs f64 — asserted in test_compensated)
+    hh, hl = gemv_df(jnp.asarray(Ah), jnp.asarray(Al), jnp.asarray(v))
+    hlo = np.asarray(hh, np.float64) + np.asarray(hl, np.float64)
+    assert np.max(np.abs(got - hlo)) / scale < 5e-7
+
+    # x64 CPU dispatch (no explicit interpret) returns the f64 contract
+    fh, fl_ = gemv_df_fused(jnp.asarray(Ah), jnp.asarray(Al),
+                            jnp.asarray(v))
+    fgot = np.asarray(fh, np.float64) + np.asarray(fl_, np.float64)
+    assert np.max(np.abs(fgot - want)) / scale < 1e-11
