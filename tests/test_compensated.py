@@ -83,3 +83,27 @@ def test_dot_diag_df_cancellation():
     # a plain f32 dot cannot (error comparable to the quantity itself)
     plain = 1.0 - _f64(jnp.sum(Vh * Vh, axis=0))
     assert np.abs(plain - ref).max() > 10 * np.abs(got - ref).max()
+
+
+def test_gemv_df_exact_vs_f64():
+    """The HLO df GEMV (TwoProd + pairwise TwoSum tree, no accumulator
+    floor) reproduces the f64 GEMV of the full (hi + lo) matrix to
+    double-float accuracy, eager and jitted (the barriers must survive the
+    HLO simplifier)."""
+    import jax
+
+    from stpy_tpu.ops.compensated import gemv_df
+
+    rng = np.random.default_rng(11)
+    m, k = 200, 500
+    A64 = np.exp(-((rng.uniform(-1, 1, (m, k))) ** 2)) * 2.0
+    Ah = A64.astype(np.float32)
+    Al = (A64 - Ah.astype(np.float64)).astype(np.float32)
+    v = rng.standard_normal(k).astype(np.float32)
+    want = A64 @ v.astype(np.float64)
+    scale = np.max(np.abs(want))
+
+    for fn in (gemv_df, jax.jit(gemv_df)):
+        oh, ol = fn(jnp.asarray(Ah), jnp.asarray(Al), jnp.asarray(v))
+        got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+        assert np.max(np.abs(got - want)) / scale < 1e-12

@@ -7,6 +7,11 @@ pathwise (Matheron) sampling, and the approximation-error decay in m.
 Run: python tutorials/fourier_features.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 

@@ -16,6 +16,11 @@ This script runs CPU-sized versions of all three so it executes anywhere:
     python tutorials/large_scale_gp.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 # CPU-sized demo: pin to CPU + x64 (the TPU-scale numbers quoted above come

@@ -9,6 +9,11 @@ Run: python tutorials/model_selection_marginalized_likelihood.py
 (on CPU force: JAX_PLATFORMS=cpu)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 

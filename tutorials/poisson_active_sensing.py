@@ -11,6 +11,11 @@ ellipsoid, and posterior rate samples come from a proximal Langevin chain
 Run: python tutorials/poisson_active_sensing.py   (CPU-friendly sizes)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 # point-process MAP fits are small and condition-sensitive: run x64 on CPU
