@@ -49,6 +49,8 @@ _LOG2E = 1.4426950408889634
 _LN2_HI = 0.693359375                 # 11-bit mantissa: k*LN2_HI exact
 _LN2_REST = -2.1219444005469057e-04   # ln2 - LN2_HI
 _SPLIT = 4097.0                       # Veltkamp constant for f32 (2^12 + 1)
+_SIXTH = (float(np.float32(1.0 / 6.0)),
+          float(np.float64(1.0 / 6.0) - np.float64(np.float32(1.0 / 6.0))))
 
 # df Pallas path is VPU-bound with a static unroll over feature dims; the
 # VMEM x-block is lane-padded to 128 either way, so d ≤ 128 costs no extra
@@ -134,16 +136,27 @@ def _df_exp(wh, wl, eft, bitcast):
 
     sqh, sqe = two_prod(rh, rh)
     sqe = sqe + 2.0 * rh * rl
-    # e^r = 1 + r + r²/2 + r³·Q(r); Q in f32 — error enters at r³·1e-7·Q
-    q = 1.0 / 40320.0
-    for ccoef in (1.0 / 5040.0, 1.0 / 720.0, 1.0 / 120.0, 1.0 / 24.0,
-                  1.0 / 6.0):
-        q = q * rh + ccoef
-    c3 = rh * sqh * q
+    # e^r = 1 + r + r²/2 + r³/6 + r⁴·Q2(r) with 1, r, r²/2, r³/6 all in df
+    # and only the quartic tail in plain f32. Keeping the cubic term in f32
+    # (the r2 scheme: c3 = r³·Q(r)) left a ~eps·r³/6 ≈ 5e-10 rounding as
+    # the DOMINANT df-Gram entry error — measured 0.5-1.3e-9 per entry,
+    # which through mean = K*·alpha floored composite-kernel posterior
+    # means at 1.3e-6 (r3 batch D). With the cubic in df the entry error
+    # drops to the quartic tail's rounding, ~eps·r⁴/24 ≈ 2e-11.
+    q2 = 1.0 / 362880.0                      # through r⁹: truncation ~r¹⁰/10!
+    for ccoef in (1.0 / 40320.0, 1.0 / 5040.0, 1.0 / 720.0, 1.0 / 120.0,
+                  1.0 / 24.0):
+        q2 = q2 * rh + ccoef
+    cbh, cbe = two_prod(sqh, rh)             # r³ in df
+    cbe = cbe + (sqe * rh + sqh * rl)
+    c4 = cbh * rh * q2                       # r⁴·Q2, f32 is plenty
+    sxh, sxl = _SIXTH
+    t1h, t1e = two_prod(cbh, sxh)            # r³/6 in df
+    t1e = t1e + (cbh * sxl + cbe * sxh)
     eh, el = fast_two_sum(1.0, rh)
     el = el + rl
     eh, el = df_add(eh, el, 0.5 * sqh, 0.5 * sqe)
-    el = el + c3
+    eh, el = df_add(eh, el, t1h, t1e + c4)
     eh, el = fast_two_sum(eh, el)
 
     # exact 2^k scaling via exponent bitcast (k in [-126, 0] when live)

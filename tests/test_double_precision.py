@@ -192,3 +192,50 @@ def test_double_mode_ard_matern_matches_f64():
             / np.abs(mu_ref).max()) < 1e-6
     assert (np.abs(np.asarray(std).ravel() - std_ref).max()
             / std_ref.max()) < 1e-5
+
+
+def test_df_gram_entry_accuracy_hlo_f32():
+    """df Gram ENTRIES (HLO EFT path, pure f32 arithmetic — the same
+    formulas the Mosaic kernel lowers) match f64 to ~1e-10 absolute for
+    every df family. Guards the _df_exp series depth and the df cubic
+    term: with the cubic tail in plain f32 the floor was 0.5-1.3e-9,
+    which capped composite-kernel posterior means at 1.3e-6 (r3 batch D)."""
+    import jax.numpy as jnp
+
+    from stpy_tpu.ops import pallas_gram_df as M
+
+    rng = np.random.default_rng(3)
+    n, d = 256, 6
+    x = rng.uniform(-1, 1, (n, d)).astype(np.float32).astype(np.float64)
+    y = rng.uniform(-1, 1, (n, d)).astype(np.float32).astype(np.float64)
+
+    def ref(fam, nu, g):
+        a, b = x / g, y / g
+        sq = np.maximum(
+            (a * a).sum(1)[:, None] + (b * b).sum(1)[None, :]
+            - 2.0 * (a @ b.T), 0.0)
+        if fam == "se":
+            return np.exp(-sq / 2)
+        t = np.sqrt(2 * nu * sq)
+        P = {0.5: 1.0, 1.5: 1.0 + t, 2.5: 1.0 + t + t * t / 3.0}[nu]
+        return P * np.exp(-t)
+
+    for fam, nu, g in [("se", 1.5, 0.5), ("matern", 1.5, 0.8),
+                       ("matern", 2.5, 1.1), ("matern", 0.5, 0.7)]:
+        inv64 = 1.0 / np.float64(g)
+        ih = np.float32(inv64)
+        il = np.float32(inv64 - np.float64(ih))
+        xh, xl = M._df_scale_coords(
+            jnp.asarray(x, jnp.float32),
+            jnp.asarray([ih] * d, jnp.float32),
+            jnp.asarray([il] * d, jnp.float32))
+        yh, yl = M._df_scale_coords(
+            jnp.asarray(y, jnp.float32),
+            jnp.asarray([ih] * d, jnp.float32),
+            jnp.asarray([il] * d, jnp.float32))
+        kap = jnp.asarray(np.array([[1.0, 0.0]], np.float32))
+        Kh, Kl = M._gram_df_hlo(xh, xl, yh, yl, kap, family=fam, nu=nu)
+        assert Kh.dtype == jnp.float32
+        got = np.asarray(Kh, np.float64) + np.asarray(Kl, np.float64)
+        err = np.max(np.abs(got - ref(fam, nu, g)))
+        assert err < 5e-10, (fam, nu, err)
