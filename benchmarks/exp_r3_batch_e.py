@@ -12,8 +12,11 @@
 Run on the TPU host: timeout 5400 python benchmarks/exp_r3_batch_e.py
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import traceback
 
 import numpy as np

@@ -152,15 +152,33 @@ def lowrank_eigen_precond(B, noise):
     condition λmax/σ² — ~7e5 for a 65k-point smooth kernel at σ=0.2 —
     and its f32 factor-solve error (u·κ ≈ 7%) makes the implied M⁻¹
     effectively indefinite, which BREAKS CG (measured: the 65k sum-kernel
-    PCG went from a 4.7e-2 stall to 2.2e-1, r3 batch C4). The eigenform
-    stays exactly SPD for ANY spectrum clamp — eigenvector noise in the
-    small eigenvalues only degrades preconditioner QUALITY, never CG
-    validity. Apply cost: two (n, r) GEMMs."""
+    PCG went from a 4.7e-2 stall to 2.2e-1, r3 batch C4).
+
+    Near-null eigenvalues of BᵀB (landmark count above the kernel's
+    numerical rank) are dropped rather than lifted: coef = 0 and the
+    column is zeroed, so a junk eigenvector amplified by λ^{-1/2} never
+    enters the apply. The threshold is max(0.1σ², 1e-6·λmax) — directions
+    below ~σ² carry coef ≤ 1/2 and contribute almost nothing, while
+    thresholds tied to λmax alone were measured to drop the working
+    mid-spectrum (sum-kernel n=8k PCG 24 → 330 iters). Stronger
+    orthonormality-certificate guards were tried and REJECTED: the lifted
+    U genuinely carries eps·λmax/λ cross-talk between small-eigenvalue
+    pairs, so any worst-case bound on λmax(UᵀU) over-scales coef and
+    guts the preconditioner (same 330-iter signature).
+    Apply cost: two (n, r) GEMMs."""
     lam, Q = jnp.linalg.eigh(B.T @ B)
-    lam = jnp.maximum(lam, 0.0)
-    U = B @ (Q * jax.lax.rsqrt(lam + 1e-30)[None, :])
+    s2_ = jnp.asarray(noise, B.dtype) ** 2
+    lmax = jnp.maximum(lam[-1], 1e-30)
+    # keep everything down to ~σ² (coef ≤ 1/2 below that — negligible
+    # preconditioning value) but never below the f32 eigh noise floor
+    # (~eps·λmax): thresholds tied to λmax alone were measured to drop
+    # the mid-spectrum directions that do the work (sum-kernel n=8k PCG
+    # 24 → 330 iters)
+    good = (lam > jnp.maximum(0.1 * s2_, 1e-6 * lmax)).astype(B.dtype)
+    lam_s = jnp.where(good > 0, lam, lmax)
+    U = B @ (Q * jax.lax.rsqrt(lam_s)[None, :]) * good[None, :]
     s2 = noise * noise
-    coef = lam / (lam + s2)
+    coef = good * lam / (lam + s2)
 
     def M_inv(rhs):
         rhs2 = rhs if rhs.ndim == 2 else rhs[:, None]
@@ -178,7 +196,7 @@ def make_pivchol_precond(Lm, noise):
     return lowrank_eigen_precond(Lm.T, noise)
 
 
-def nystrom_precond_from_cross(C, idx, noise, shift=1e-6):
+def nystrom_precond_from_cross(C, idx, noise, shift=1e-5):
     """Randomized-Nyström preconditioner (Frangella–Tropp–Udell style) from
     a landmark cross-Gram: given C = K[:, idx] (n, r) for r landmark rows
     `idx`, build the apply of (K_nys + σ²I)⁻¹ with
@@ -186,7 +204,11 @@ def nystrom_precond_from_cross(C, idx, noise, shift=1e-6):
 
     Fully batched — one (r, r) eigendecomposition for the pseudo-inverse
     (clamped at `shift`·λmax: smooth kernels make K[idx, idx] numerically
-    singular), one (n, r) GEMM, then the shared SPD eigenform apply — so
+    singular, and a junk near-null eigenvector lifted by λ^{-1/2} would
+    inject a large spurious B column; 1e-5·λmax sits ~100x above the f32
+    eigh noise floor while staying below the useful part of the
+    spectrum), one (n, r) GEMM, then the shared SPD eigenform apply
+    (which carries its own validity guards, see lowrank_eigen_precond) — so
     unlike the greedy `pivoted_cholesky_kernel` there is NO sequential
     rank loop, which makes it the right construction INSIDE a jitted
     evidence step whose hyperparameters (and hence the preconditioner)
