@@ -206,18 +206,29 @@ class GaussianProcess(Estimator, RandomProcess):
                 L_ = chol_jittered(A)
                 ok_ = jnp.all(jnp.isfinite(L_))
                 jit_ = default_jitter(A.dtype) * jnp.mean(jnp.diagonal(A))
-            alpha = cho_solve_blocked(L_, y)
             # refinement with an EXACT df residual (gemv_df: TwoProd +
-            # pairwise-tree reduction, no accumulator floor): the earlier
-            # chunk-compensated MXU GEMV still carried within-chunk f32
-            # accumulation noise that floored matern/composite posterior
-            # means at 1.2-2.4e-6 (r3 batch C); with the exact product
-            # 2-3 steps converge to the (hi + lo)-system solution
+            # pairwise-tree reduction, no accumulator floor), and alpha
+            # carried as a DOUBLE-FLOAT pair: a single-f32 alpha caps the
+            # posterior mean at eps·‖K*‖‖α‖/‖μ‖ regardless of Gram entry
+            # accuracy — measured as the 1.33e-6 se+matern mean plateau
+            # that survived the 1e-10 df-entry rework (r3 batch F). The
+            # s² term runs in df too (fl(s·s) alone biases r by ~6e-10·‖α‖).
+            from stpy_tpu.ops.pallas_gram_df import _two_prod
+
+            a_h = cho_solve_blocked(L_, y)
+            a_l = jnp.zeros_like(a_h)
+            s2h, s2e = _two_prod(s, s)
             for _ in range(3):
-                Ph, Pl = gemv_df(Kh, Kl, alpha)
+                Ph, Pl = gemv_df(Kh, Kl, a_h, vl=a_l)
+                qh, qe = _two_prod(s2h, a_h)
+                qe = qe + (s2e * a_h + s2h * a_l)
                 rh, re = _two_sum(y, -Ph[:, None])
-                r = rh + (re - Pl[:, None] - (s * s) * alpha)
-                alpha = alpha + cho_solve_blocked(L_, r)
+                rh, re2 = _two_sum(rh, -qh)
+                r = rh + ((re + re2) - Pl[:, None] - qe)
+                d = cho_solve_blocked(L_, r)
+                nh, e = _two_sum(a_h, d)
+                a_h, a_l = nh, a_l + e
+            alpha = jnp.concatenate([a_h, a_l], axis=1)     # (n, 2) df pair
             if self._var_refine > 0:
                 # var_refine predict consumes the train df Gram — return it
                 # so predict doesn't rebuild it (~2 df Pallas Grams/predict
@@ -229,8 +240,8 @@ class GaussianProcess(Estimator, RandomProcess):
             from stpy_tpu.ops.compensated import gemv_df
 
             Kh, Kl = self._df_gram(params_dict, xtest, x, desc)  # (t, n)
-            # exact df mean GEMV — no accumulator floor (see fit above)
-            Mh, Ml = gemv_df(Kh, Kl, alpha)
+            # exact df mean GEMV on the df alpha pair (see fit above)
+            Mh, Ml = gemv_df(Kh, Kl, alpha[:, :1], vl=alpha[:, 1:])
             mu = (Mh + Ml)[:, None]
             kss = self.kernel_object.diag(xtest, params_dict)
             V = tri_solve_blocked(L, Kh.T, precision=HIP)   # (n, t)
@@ -249,7 +260,7 @@ class GaussianProcess(Estimator, RandomProcess):
             from stpy_tpu.ops.pallas_qform_df import qform_refined
 
             Kh, Kl = self._df_gram(params_dict, xtest, x, desc)  # (t, n)
-            Mh, Ml = gemv_df(Kh, Kl, alpha)
+            Mh, Ml = gemv_df(Kh, Kl, alpha[:, :1], vl=alpha[:, 1:])
             mu = (Mh + Ml)[:, None]
             kss = self.kernel_object.diag(xtest, params_dict)
             # W0 only needs to leave a SMALL residual (error enters q at
@@ -262,16 +273,18 @@ class GaussianProcess(Estimator, RandomProcess):
             return mu, jnp.sqrt(var)[:, None]
 
         self._fit_fn = jax.jit(fit)
+        # the df predicts consume the stored (n, 2) alpha pair, not the
+        # (n, 1) hi column kept in self.A for legacy consumers
         if self._var_refine > 0:
             _pjit = jax.jit(predict_refined)
             self._predict_fn = lambda L, A, x, xt, pd: _pjit(
-                L, A, self._df_train[0], self._df_train[1], x, xt, pd,
-                jnp.asarray(self.s, x.dtype)
+                L, self._A_df, self._df_train[0], self._df_train[1], x, xt,
+                pd, jnp.asarray(self.s, x.dtype)
             )
         else:
             _pjit = jax.jit(predict)
             self._predict_fn = lambda L, A, x, xt, pd: _pjit(
-                L, A, x, xt, pd, jnp.asarray(self.s, x.dtype)
+                L, self._A_df, x, xt, pd, jnp.asarray(self.s, x.dtype)
             )
 
     def _build_jits(self):
@@ -339,6 +352,12 @@ class GaussianProcess(Estimator, RandomProcess):
                 jnp.asarray(self.s, x.dtype),
             )
             self.L, self.A, chol_ok, jitter_used = out[:4]
+            if self._precision == "double":
+                # the df fit returns alpha as an (n, 2) double-float pair;
+                # keep self.A = (n, 1) hi column for every legacy consumer
+                # (norms, samplers) and stash the pair for the df predict
+                self._A_df = self.A
+                self.A = self._A_df[:, :1]
             if len(out) == 6:   # double + var_refine: cached train df Gram
                 self._df_train = (out[4], out[5])
             self.fit_status = {
@@ -359,6 +378,12 @@ class GaussianProcess(Estimator, RandomProcess):
             self.L, self.A = res.L, cho_solve(res.L, y)
         if self.loss != "squared":
             self.A = self._robust_alpha()
+            if self._precision == "double":
+                # robust MAP alpha replaces the refined one; the df mean
+                # GEMV consumes it with a zero lo stream (the 1e-6 parity
+                # story applies to the squared loss only)
+                self._A_df = jnp.concatenate(
+                    [self.A, jnp.zeros_like(self.A)], axis=1)
         self.fitted = True
         return None
 

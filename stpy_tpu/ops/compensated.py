@@ -130,13 +130,21 @@ def _df_sum_tree_axis1(h: jnp.ndarray, l: jnp.ndarray):
 
 
 def gemv_df(Ah: jnp.ndarray, Al: jnp.ndarray, v: jnp.ndarray,
-            rows: int = 4096):
-    """EXACT double-float GEMV (Ah + Al)·v: TwoProd products on the VPU and
-    a pairwise TwoSum tree over the contraction — NO accumulator floor at
-    all (result error ~ depth·eps² ≈ 1e-13, vs ~1e-6 absolute for a
-    chunk-compensated MXU GEMV at k = 16k, whose within-chunk f32
+            rows: int = 4096, vl: jnp.ndarray | None = None):
+    """EXACT double-float GEMV (Ah + Al)·(v + vl): TwoProd products on the
+    VPU and a pairwise TwoSum tree over the contraction — NO accumulator
+    floor at all (result error ~ depth·eps² ≈ 1e-13, vs ~1e-6 absolute
+    for a chunk-compensated MXU GEMV at k = 16k, whose within-chunk f32
     accumulation was the measured floor of matern/composite double-mode
     posterior means — r3).
+
+    `vl` (optional) is a double-float lo companion of v: the Ah·vl
+    correction joins the error stream (Al·vl, ~1e-16 relative, is
+    dropped). A SINGLE-f32 alpha caps the posterior mean at
+    eps·‖K*‖‖α‖/‖μ‖ no matter how accurate the Gram entries are —
+    measured as the 1.33e-6 se+matern mean plateau that survived the
+    1e-10 entry rework (r3 batch F) — so the double path carries alpha
+    as a df pair through refinement and the mean GEMV.
 
     Bandwidth-bound like any GEMV: ~3 streams of A instead of 1. Row
     chunking (static python loop) bounds the (rows, k) df transients.
@@ -151,14 +159,17 @@ def gemv_df(Ah: jnp.ndarray, Al: jnp.ndarray, v: jnp.ndarray,
     if jax.default_backend() == "tpu":
         from stpy_tpu.ops.pallas_gemv_df import gemv_df_fused
 
-        return gemv_df_fused(Ah, Al, v)
+        return gemv_df_fused(Ah, Al, v, vl=vl)
     v = jnp.asarray(v).reshape(-1)
+    vlr = None if vl is None else jnp.asarray(vl).reshape(-1)
     m = Ah.shape[0]
     outs_h, outs_l = [], []
     for r0 in range(0, m, rows):
         ah, al = Ah[r0:r0 + rows], Al[r0:r0 + rows]
         ph, pe = _two_prod(ah, v[None, :])
         pe = pe + al * v[None, :]
+        if vlr is not None:
+            pe = pe + ah * vlr[None, :]
         oh, ol = _df_sum_tree_axis1(ph, pe)
         outs_h.append(oh)
         outs_l.append(ol)

@@ -45,8 +45,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _gemv_kernel(v_ref, ah_ref, al_ref, oh_ref, ol_ref, acc_h, acc_l, *,
-                 k_steps, barriers):
+def _gemv_kernel(v_ref, vl_ref, ah_ref, al_ref, oh_ref, ol_ref, acc_h,
+                 acc_l, *, k_steps, barriers):
     two_sum, _fast_two_sum, two_prod, _df_add = _make_eft(barriers)
     kt = pl.program_id(1)
 
@@ -56,8 +56,9 @@ def _gemv_kernel(v_ref, ah_ref, al_ref, oh_ref, ol_ref, acc_h, acc_l, *,
         acc_l[:] = jnp.zeros_like(acc_l)
 
     v = v_ref[:]                        # (1, block_k) — broadcasts over rows
-    ph, pe = two_prod(ah_ref[:], v)
-    pe = pe + al_ref[:] * v
+    ah = ah_ref[:]
+    ph, pe = two_prod(ah, v)
+    pe = pe + (al_ref[:] * v + ah * vl_ref[:])   # df v: Al·vl dropped (eps²)
     # lane tree block_k -> 128 (aligned halves; each level vectorizes)
     while ph.shape[1] > 128:
         m = ph.shape[1] // 2
@@ -77,12 +78,14 @@ def _gemv_kernel(v_ref, ah_ref, al_ref, oh_ref, ol_ref, acc_h, acc_l, *,
 @functools.partial(
     jax.jit, static_argnames=("block_m", "block_k", "interpret")
 )
-def _gemv_pallas(Ah, Al, v, *, block_m: int, block_k: int, interpret: bool):
+def _gemv_pallas(Ah, Al, v, vl, *, block_m: int, block_k: int,
+                 interpret: bool):
     m, k = Ah.shape
     mpad, kpad = _round_up(m, block_m), _round_up(k, block_k)
     Ahp = jnp.pad(Ah, ((0, mpad - m), (0, kpad - k)))
     Alp = jnp.pad(Al, ((0, mpad - m), (0, kpad - k)))
     vp = jnp.pad(v.reshape(1, -1), ((0, 0), (0, kpad - k)))
+    vlp = jnp.pad(vl.reshape(1, -1), ((0, 0), (0, kpad - k)))
     m_steps, k_steps = mpad // block_m, kpad // block_k
 
     kern = functools.partial(_gemv_kernel, k_steps=k_steps,
@@ -91,6 +94,8 @@ def _gemv_pallas(Ah, Al, v, *, block_m: int, block_k: int, interpret: bool):
         kern,
         grid=(m_steps, k_steps),
         in_specs=[
+            pl.BlockSpec((1, block_k), lambda i, kt: (0, kt),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k), lambda i, kt: (0, kt),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_m, block_k), lambda i, kt: (i, kt),
@@ -125,7 +130,7 @@ def _gemv_pallas(Ah, Al, v, *, block_m: int, block_k: int, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(vp, Ahp, Alp)
+    )(vp, vlp, Ahp, Alp)
 
     # fold the last 128 lanes in barrier-guarded HLO df (tiny: (m, 128)).
     # The extra barrier on the kernel outputs is LOAD-BEARING: when the
@@ -144,8 +149,10 @@ def _gemv_pallas(Ah, Al, v, *, block_m: int, block_k: int, interpret: bool):
 
 
 def gemv_df_fused(Ah, Al, v, *, block_m: int = 512, block_k: int = 1024,
-                  interpret: bool | None = None):
-    """EXACT df GEMV (Ah + Al)·v → (hi, lo) of shape (m,), fused in VMEM.
+                  interpret: bool | None = None, vl=None):
+    """EXACT df GEMV (Ah + Al)·(v + vl) → (hi, lo) of shape (m,), fused in
+    VMEM. `vl` is an optional df lo companion of v (see
+    ops/compensated.gemv_df — a single-f32 alpha caps the posterior mean).
 
     On TPU runs the Mosaic kernel; on CPU without x64 runs the same kernel
     in interpret mode (barrier-guarded EFT); on CPU with x64 falls back to
@@ -154,17 +161,19 @@ def gemv_df_fused(Ah, Al, v, *, block_m: int = 512, block_k: int = 1024,
     """
     Ah = jnp.asarray(Ah)
     v = jnp.asarray(v).reshape(-1)
+    vl = (jnp.zeros_like(v) if vl is None
+          else jnp.asarray(vl).reshape(-1))
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None:
         interpret = False
     if not on_tpu and not interpret:
         if jax.config.jax_enable_x64:
             r = (Ah.astype(jnp.float64) + jnp.asarray(Al, jnp.float64)) @ (
-                v.astype(jnp.float64))
+                v.astype(jnp.float64) + vl.astype(jnp.float64))
             hi = r.astype(jnp.float32).astype(jnp.float64)
             return hi.astype(Ah.dtype), (r - hi).astype(Ah.dtype)
         interpret = True
     f32 = jnp.float32
     return _gemv_pallas(Ah.astype(f32), jnp.asarray(Al, f32),
-                        v.astype(f32), block_m=block_m, block_k=block_k,
-                        interpret=bool(interpret))
+                        v.astype(f32), vl.astype(f32), block_m=block_m,
+                        block_k=block_k, interpret=bool(interpret))

@@ -193,3 +193,18 @@ def test_gemv_df_fused_matches_f64():
                             jnp.asarray(v))
     fgot = np.asarray(fh, np.float64) + np.asarray(fl_, np.float64)
     assert np.max(np.abs(fgot - want)) / scale < 1e-11
+
+    # df v: (vh, vl) split of an f64 vector — the Ah*vl stream must land
+    v64 = rng.standard_normal(k) * 1.7
+    vh = v64.astype(np.float32)
+    vloc = (v64 - vh.astype(np.float64)).astype(np.float32)
+    want_df = A64 @ v64
+    oh2, ol2 = gemv_df_fused(jnp.asarray(Ah), jnp.asarray(Al),
+                             jnp.asarray(vh), vl=jnp.asarray(vloc),
+                             block_m=128, block_k=256, interpret=True)
+    got2 = np.asarray(oh2, np.float64) + np.asarray(ol2, np.float64)
+    assert np.max(np.abs(got2 - want_df)) / np.max(np.abs(want_df)) < 5e-7
+    hh2, hl2 = gemv_df(jnp.asarray(Ah), jnp.asarray(Al), jnp.asarray(vh),
+                       vl=jnp.asarray(vloc))
+    hlo2 = np.asarray(hh2, np.float64) + np.asarray(hl2, np.float64)
+    assert np.max(np.abs(hlo2 - want_df)) / np.max(np.abs(want_df)) < 1e-11
