@@ -296,8 +296,21 @@ class IterativeGP:
         if self.lazy and self.mesh is None:
             M_inv = None
             if self.precond_rank > 0:
-                Lm = pivoted_cholesky_kernel(ko, x, self.precond_rank)
-                M_inv = make_pivchol_precond(Lm, self.s)
+                # randomized Nyström, not greedy pivoted Cholesky: the
+                # r3 on-device diagnostic (benchmarks/exp_r3_diag_precond)
+                # cleared eigh/PSD/symmetry on the chip and showed the
+                # 65k stall is RANK COVERAGE — the >σ² eigenspace grows
+                # ~linearly with n, so rank 512 that converges in 13
+                # iters at n=8k leaves the 65k system stalled. Nyström's
+                # batched construction (one (n, r) cross-Gram + one (r,r)
+                # eigh) scales to the rank ~ n/16 that coverage needs,
+                # where pivchol's sequential O(n·r²) pivot loop cannot.
+                r = int(min(self.precond_rank, x.shape[0]))
+                idx = jax.random.choice(
+                    jax.random.fold_in(jax.random.PRNGKey(0), 7),
+                    x.shape[0], (r,), replace=False)
+                C = ko.eval_params(ko.params_dict, x, x[idx])
+                M_inv = nystrom_precond_from_cross(C, idx, self.s)
             return self._lazy_matvec_or_none(x), M_inv
 
         if self.mesh is None:

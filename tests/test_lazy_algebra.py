@@ -222,7 +222,10 @@ def test_pivoted_cholesky_preconditioner_cuts_cg_iterations():
     sol, it_pre, res = cg_solve(mv, yv, M_inv=M_inv, tol=1e-8, maxiter=2000)
     assert int(it_pre) < int(it_plain) / 3, (int(it_pre), int(it_plain))
     ref = jnp.linalg.solve(A, yv)
-    assert float(jnp.max(jnp.abs(sol - ref))) < 1e-6
+    # ||sol - ref|| <= ||A^-1||*||r|| ~ (1/s^2)*tol*||b||: the residual
+    # stop only bounds the solution to kappa*tol (~2e-6 here), so the
+    # bound carries that slack
+    assert float(jnp.max(jnp.abs(sol - ref))) < 1e-5
 
     # end-to-end through IterativeGP(precond_rank=...)
     gp = IterativeGP(k, s=s, lazy=True, tol=1e-8, maxiter=2000,
