@@ -65,11 +65,11 @@ def e2_posterior_cg(rank=512):
                          precond_rank=r)
         t0 = time.perf_counter()
         gp.fit_gp(x, y.reshape(-1, 1))
-        float(jnp.sum(jnp.abs(gp.alpha)))
+        float(jnp.sum(jnp.abs(gp.A)))
         cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         gp.fit_gp(x, (y * 1.001).reshape(-1, 1))
-        float(jnp.sum(jnp.abs(gp.alpha)))
+        float(jnp.sum(jnp.abs(gp.A)))
         warm = time.perf_counter() - t0
         print(f"E2 n={N} rank={r}: {gp.cg_iterations} iters, "
               f"residual {gp.cg_residual:.1e}, cold {cold:.1f}s, "
