@@ -154,31 +154,26 @@ def lowrank_eigen_precond(B, noise):
     effectively indefinite, which BREAKS CG (measured: the 65k sum-kernel
     PCG went from a 4.7e-2 stall to 2.2e-1, r3 batch C4).
 
-    Near-null eigenvalues of BᵀB (landmark count above the kernel's
-    numerical rank) are dropped rather than lifted: coef = 0 and the
-    column is zeroed, so a junk eigenvector amplified by λ^{-1/2} never
-    enters the apply. The threshold is max(0.1σ², 1e-6·λmax) — directions
-    below ~σ² carry coef ≤ 1/2 and contribute almost nothing, while
-    thresholds tied to λmax alone were measured to drop the working
-    mid-spectrum (sum-kernel n=8k PCG 24 → 330 iters). Stronger
-    orthonormality-certificate guards were tried and REJECTED: the lifted
-    U genuinely carries eps·λmax/λ cross-talk between small-eigenvalue
-    pairs, so any worst-case bound on λmax(UᵀU) over-scales coef and
-    guts the preconditioner (same 330-iter signature).
-    Apply cost: two (n, r) GEMMs."""
-    lam, Q = jnp.linalg.eigh(B.T @ B)
-    s2_ = jnp.asarray(noise, B.dtype) ** 2
-    lmax = jnp.maximum(lam[-1], 1e-30)
-    # keep everything down to ~σ² (coef ≤ 1/2 below that — negligible
-    # preconditioning value) but never below the f32 eigh noise floor
-    # (~eps·λmax): thresholds tied to λmax alone were measured to drop
-    # the mid-spectrum directions that do the work (sum-kernel n=8k PCG
-    # 24 → 330 iters)
-    good = (lam > jnp.maximum(0.1 * s2_, 1e-6 * lmax)).astype(B.dtype)
-    lam_s = jnp.where(good > 0, lam, lmax)
-    U = B @ (Q * jax.lax.rsqrt(lam_s)[None, :]) * good[None, :]
+    Construction is QR-FIRST, not an eigh-and-lift of BᵀB: the lift
+    U = B·Q·λ^{-1/2} carries eps·λmax/λ cross-talk between eigenpairs,
+    and λmax grows ~linearly with n — at n=8k (λmax/σ² ≈ 2e5) that noise
+    is ~1e-2 and PCG converges in 13 iters, at n=65k (λmax/σ² ≈ 1.6e6)
+    the small-λ columns are O(1) WRONG and PCG is actively harmed
+    (residual 1.9 after 400 iters, r3 batch H — on CPU and TPU alike;
+    the earlier "TPU-only" framing was an n=8k-CPU vs n=65k-TPU
+    comparison). Householder QR of B is backward-stable REGARDLESS of
+    conditioning: U = Q_qr·V with V the eigenvectors of the small
+    well-scaled RRᵀ is orthonormal to ~eps, so M⁻¹ stays SPD and
+    accurate at any κ. Junk near-null eigenvalues (landmark count above
+    the kernel's numerical rank) get coef ≈ λ/σ² → 0 — harmless with an
+    orthonormal U. Apply cost: two (n, r) GEMMs; construction one
+    (n, r) QR + one (r, r) eigh."""
+    Qn, R = jnp.linalg.qr(B)                    # (n, r), (r, r)
+    lam, V = jnp.linalg.eigh(R @ R.T)           # eigenvalues of BᵀB
+    lam = jnp.maximum(lam, 0.0)
+    U = Qn @ V                                  # orthonormal at any κ
     s2 = noise * noise
-    coef = good * lam / (lam + s2)
+    coef = lam / (lam + s2)
 
     def M_inv(rhs):
         rhs2 = rhs if rhs.ndim == 2 else rhs[:, None]
