@@ -176,10 +176,19 @@ def _df_entry(acc_h, acc_l, kh, kl, *, family, nu, eft, bitcast):
     if family == "se":
         eh, el = _df_exp(-0.5 * acc_h, -0.5 * acc_l, eft, bitcast)
     elif family == "matern":
-        # t = √(2ν)·√sq in df: f32 sqrt + one exact-residual Newton step
+        # t = √(2ν)·√sq in df: f32 sqrt + TWO exact-residual Newton steps.
+        # One step is NOT enough on the TPU: Mosaic lowers sqrt/divide to
+        # the VPU's ~2^-12 hardware approximations, so a single Newton
+        # leaves ~δ²/δ·δ_div ≈ 5e-8 relative — measured as the 5.4e-8
+        # on-device matern entry error that floored composite posterior
+        # means at ~1e-6 (r3 batch I; the HLO path's IEEE sqrt measured
+        # 1.6e-10 with one step). The second step starts from an exact
+        # TwoProd residual, landing ~max(δ⁴, δ_div·δ²) ≈ 1e-11.
         safe = acc_h > 1e-36
         ah = jnp.maximum(acc_h, 1e-36)
         sh = jnp.sqrt(ah)
+        p, pe = two_prod(sh, sh)
+        sh = sh + ((ah - p) - pe) / (2.0 * sh)
         p, pe = two_prod(sh, sh)
         err = ((ah - p) - pe) + acc_l
         sl = err / (2.0 * sh)
