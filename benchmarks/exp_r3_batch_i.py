@@ -93,6 +93,16 @@ def main():
         dev = np.asarray(h, np.float64) + np.asarray(l, np.float64)
         print(f"I1 {name:9s} Mosaic entry err: max {np.max(np.abs(dev - ref)):.2e}",
               flush=True)
+
+    # single-precision fused Gram entries for comparison (shares the
+    # Mosaic sqrt): calibrates the hardware sqrt/divide approximation
+    se1 = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=D)
+    m1 = KernelFunction(kernel_name="matern", gamma=1.1, nu=2.5, d=D)
+    for name, ko, ref in [("se", se1, k64_se(xt, xh)),
+                          ("matern52", m1, k64_m52(xt, xh))]:
+        dev = np.asarray(ko.eval_params(ko.params_dict, xtj, x), np.float64)
+        print(f"I0 {name:9s} single-precision entry err: "
+              f"max {np.max(np.abs(dev - ref)):.2e}", flush=True)
     print(f"I1 combined  entry err: max {np.max(np.abs(Ks_dev - Ks64)):.2e}",
           flush=True)
 
