@@ -172,13 +172,15 @@ def _evidence_body_sum(
 
     M_inv = None
     if precond_rank > 0:
-        from stpy_tpu.parallel.iterative import nystrom_precond_from_cross
+        from stpy_tpu.parallel.iterative import randomized_eig_precond
 
+        # two-pass randomized EVD, not column Nyström: eigenvalues come
+        # from a Rayleigh compression QᵀKQ, so junk-large estimates that
+        # stall CG are impossible (see randomized_eig_precond docstring
+        # for the measured rank-2048 failure of the inverse-based lift)
         r = int(min(precond_rank, n))
-        idx = jax.random.choice(jax.random.fold_in(key, 7), n, (r,),
-                                replace=False)
-        C = _sum_cross_gram(xs_atoms, desc, gammas, kappas, idx, yv.dtype)
-        M_inv = nystrom_precond_from_cross(C, idx, noise)
+        M_inv = randomized_eig_precond(Amm, n, r, noise,
+                                       jax.random.fold_in(key, 7))
 
     alpha, _, _ = cg_solve(Av, yv, M_inv=M_inv, tol=cg_tol,
                            maxiter=cg_maxiter)
@@ -312,15 +314,15 @@ def _evg_general_core(ko_id, chunk, probes, cg_tol, cg_maxiter,
 
         M_inv = None
         if precond_rank > 0:
-            from stpy_tpu.parallel.iterative import (
-                nystrom_precond_from_cross,
-            )
+            from stpy_tpu.parallel.iterative import randomized_eig_precond
 
+            # two-pass randomized EVD (see randomized_eig_precond): the
+            # Rayleigh-compressed eigenvalues cannot produce the junk
+            # directions that stalled the inverse-based Nyström lift
             r = int(min(precond_rank, n))
-            idx = jax.random.choice(jax.random.fold_in(key, 7), n, (r,),
-                                    replace=False)
-            C = kernel_object.eval_params(pd0, x, x[idx])   # (n, r)
-            M_inv = nystrom_precond_from_cross(C, idx, s0)
+            M_inv = randomized_eig_precond(
+                lambda V: mm(V, pd0) + (s0 * s0) * V, n, r, s0,
+                jax.random.fold_in(key, 7))
 
         alpha, _, _ = cg_solve(Av, yv, M_inv=M_inv, tol=cg_tol,
                                maxiter=cg_maxiter)

@@ -178,7 +178,7 @@ def lowrank_eigen_precond(B, noise):
     def M_inv(rhs):
         rhs2 = rhs if rhs.ndim == 2 else rhs[:, None]
         t = U.T @ rhs2
-        out = (rhs2 - U @ (coef[:, None] * t)) / s2
+        out = ((rhs2 - U @ (coef[:, None] * t)) / s2).astype(rhs.dtype)
         return out if rhs.ndim == 2 else out.reshape(rhs.shape)
 
     return M_inv
@@ -189,6 +189,62 @@ def make_pivchol_precond(Lm, noise):
     apply of (LmᵀLm + σ²I)⁻¹ (see `lowrank_eigen_precond` for why not
     Cholesky-Woodbury). Accepts (n,) vectors or (n, r) blocks."""
     return lowrank_eigen_precond(Lm.T, noise)
+
+
+def randomized_eig_precond(matmat, n, rank, noise, key, *, block=128):
+    """SPD apply of (K_r + σ²I)⁻¹ from a TWO-PASS randomized EVD of K —
+    the junk-proof construction for large-n PCG preconditioning.
+
+    Why a third construction (after pivoted Cholesky and column Nyström):
+    any scheme that builds a low-rank factor B by *inverting* a small
+    matrix (Nyström's B = C·W^{-1/2}, pivchol's column scaling) amplifies
+    the near-null directions of that small matrix. QR-first lifting fixes
+    U's ORTHONORMALITY at any κ (see lowrank_eigen_precond), but the
+    EIGENVALUES paired with those directions are still estimated from the
+    amplified factor — and a junk-large λ̂ in a direction where K is
+    actually small makes M⁻¹(K+σ²I) have an eigenvalue ≈ σ²/λ̂ ≈ 0, which
+    STALLS CG (measured: the 65k sum-kernel QR-Nyström converges at ranks
+    512 and 4096 but stalls at 2048 with orthonormality at 1.5e-5 and a
+    clamped negative tail — r3 batches H2/K).
+
+    The two-pass EVD has no inverse anywhere: sketch Y = K·Ω, orthonormal
+    range basis Q = qr(Y), Rayleigh compression T = QᵀKQ (exactly a
+    compression of K, so eigh(T) interlaces K's true spectrum — junk-large
+    estimates are impossible beyond matvec noise), U = Q·V. Costs one
+    extra K·(n, r) pass vs Nyström — two passes of the fused block matmat
+    at `block` RHS per sweep — plus one (n, r) QR and one (r, r) eigh.
+
+    `matmat` must compute (K + σ²I)·V for (n, b) blocks (the lazy-path
+    convention); σ² is subtracted here. Returns the eigenform apply
+    M⁻¹v = (v − U diag(λ/(λ+σ²)) Uᵀv)/σ², SPD by construction."""
+    s2 = noise * noise
+    r = int(min(rank, n))
+
+    def k_apply(V):
+        outs = []
+        for c0 in range(0, V.shape[1], block):
+            blk = V[:, c0:c0 + block]
+            outs.append(matmat(blk) - s2 * blk)
+        return jnp.concatenate(outs, axis=1)
+
+    from stpy_tpu.config import default_dtype
+
+    Om = jax.random.normal(key, (n, r), default_dtype())
+    Q, _ = jnp.linalg.qr(k_apply(Om))
+    Z = k_apply(Q)
+    T = Q.T @ Z
+    lam, V = jnp.linalg.eigh(0.5 * (T + T.T))
+    lam = jnp.maximum(lam, 0.0)
+    U = Q @ V
+    coef = lam / (lam + s2)
+
+    def M_inv(rhs):
+        rhs2 = rhs if rhs.ndim == 2 else rhs[:, None]
+        t = U.T @ rhs2
+        out = ((rhs2 - U @ (coef[:, None] * t)) / s2).astype(rhs.dtype)
+        return out if rhs.ndim == 2 else out.reshape(rhs.shape)
+
+    return M_inv
 
 
 def nystrom_precond_from_cross(C, idx, noise, shift=1e-5):
@@ -291,21 +347,19 @@ class IterativeGP:
         if self.lazy and self.mesh is None:
             M_inv = None
             if self.precond_rank > 0:
-                # randomized Nyström, not greedy pivoted Cholesky: the
-                # r3 on-device diagnostic (benchmarks/exp_r3_diag_precond)
-                # cleared eigh/PSD/symmetry on the chip and showed the
-                # 65k stall is RANK COVERAGE — the >σ² eigenspace grows
-                # ~linearly with n, so rank 512 that converges in 13
-                # iters at n=8k leaves the 65k system stalled. Nyström's
-                # batched construction (one (n, r) cross-Gram + one (r,r)
-                # eigh) scales to the rank ~ n/16 that coverage needs,
-                # where pivchol's sequential O(n·r²) pivot loop cannot.
+                # two-pass randomized EVD, not column Nyström or greedy
+                # pivoted Cholesky: the rank the 65k system needs for
+                # coverage (the >σ² eigenspace grows ~linearly with n) is
+                # exactly where the inverse-based constructions become
+                # numerically treacherous — see randomized_eig_precond's
+                # docstring for the measured failure ladder (r3 batches
+                # A/C4/H/H2/K). Costs two fused Gram-block sweeps at
+                # construction; every step is an orthogonal transform or
+                # a small eigh, stable at any rank and condition number.
                 r = int(min(self.precond_rank, x.shape[0]))
-                idx = jax.random.choice(
-                    jax.random.fold_in(jax.random.PRNGKey(0), 7),
-                    x.shape[0], (r,), replace=False)
-                C = ko.eval_params(ko.params_dict, x, x[idx])
-                M_inv = nystrom_precond_from_cross(C, idx, self.s)
+                M_inv = randomized_eig_precond(
+                    self._lazy_matmat(x), x.shape[0], r, self.s,
+                    jax.random.fold_in(jax.random.PRNGKey(0), 7))
             return self._lazy_matvec_or_none(x), M_inv
 
         if self.mesh is None:

@@ -543,3 +543,50 @@ def test_nystrom_precond_general_kernel_path():
     for a, b in zip(flat0, flat1):
         assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * max(
             1.0, float(jnp.max(jnp.abs(a)))), (a, b)
+
+
+def test_randomized_eig_precond_high_condition_f32():
+    """Two-pass randomized EVD preconditioner at the 65k-like condition
+    ratio (λmax/σ² ≈ 2e6) in f32 — the regime where inverse-based lifts
+    (eigh-and-lift, QR-Nyström) produced junk eigenvalue estimates and
+    non-monotonic rank behavior (r3 batches H/H2/K). Asserts EVERY rank
+    in the sweep accelerates CG: stability must be rank-monotone, not
+    anecdotal."""
+    from stpy_tpu.parallel import cg_solve, randomized_eig_precond
+
+    rng = np.random.default_rng(73)
+    n, d, s = 1536, 2, 0.02
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)), jnp.float32)
+    sq = jnp.maximum(jnp.sum(x * x, 1)[:, None] + jnp.sum(x * x, 1)[None, :]
+                     - 2 * x @ x.T, 0)
+    K = jnp.exp(-sq / (2 * 0.7 * 0.7)) + jnp.exp(
+        -jnp.sqrt(sq + 1e-12) / 1.1)          # smooth + rough, like C4
+    A = K + jnp.float32(s * s) * jnp.eye(n, dtype=jnp.float32)
+    yv = jnp.sin(3 * x[:, 0]).astype(jnp.float32)
+    assert A.dtype == jnp.float32
+
+    mv = lambda v: A @ v
+    mm = lambda V: A @ V
+    _, it0, res0 = cg_solve(mv, yv, tol=1e-6, maxiter=1500)
+
+    iters = [int(it0)]
+    for rank in (96, 192, 384):
+        M_inv = randomized_eig_precond(mm, n, rank, jnp.float32(s),
+                                       jax.random.PRNGKey(3))
+        # SPD sanity of the apply on a random probe pair
+        z1 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        z2 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        q1 = float(z1 @ M_inv(z1))
+        sym = float(z1 @ M_inv(z2)) - float(z2 @ M_inv(z1))
+        assert q1 > 0.0
+        assert abs(sym) < 1e-3 * abs(q1)
+        sol, it1, res1 = cg_solve(mv, yv, M_inv=M_inv, tol=1e-6,
+                                  maxiter=1500)
+        assert float(res1) < 1e-5, (rank, float(res1))
+        # every rank at least halves the unpreconditioned count...
+        assert int(it1) < int(it0) // 2, (rank, int(it1), int(it0))
+        iters.append(int(it1))
+    # ...and more rank strictly helps (the inverse-based lifts FAILED
+    # exactly this: rank 2048 stalled while 512 and 4096 converged)
+    assert iters == sorted(iters, reverse=True), iters
+    assert iters[-1] < int(it0) // 5, iters
