@@ -58,7 +58,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _qform_kernel(s2_ref, th_ref, tl_ref, w0k_ref, w0a_ref, bh_ref, bl_ref,
-                  qh_ref, ql_ref, acc_h, acc_l, *, k_steps, barriers):
+                  qh_ref, ql_ref, acc_h, acc_l, *, k_steps, barriers,
+                  main_precision=jax.lax.Precision.HIGHEST):
     two_sum, fast_two_sum, two_prod, df_add = _make_eft(barriers)
     at, kt = pl.program_id(1), pl.program_id(2)
 
@@ -78,7 +79,7 @@ def _qform_kernel(s2_ref, th_ref, tl_ref, w0k_ref, w0a_ref, bh_ref, bl_ref,
     w0k = w0k_ref[:]
     p = jax.lax.dot_general(th_ref[:], w0k, dn,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=main_precision)
     corr = jax.lax.dot_general(tl_ref[:].astype(jnp.bfloat16),
                                w0k.astype(jnp.bfloat16), dn,
                                preferred_element_type=jnp.float32,
@@ -112,10 +113,12 @@ def _qform_kernel(s2_ref, th_ref, tl_ref, w0k_ref, w0a_ref, bh_ref, bl_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret",
+                              "main_precision")
 )
 def _qform_pallas(Th, Tl, W0, Bh, Bl, s2, *, block_m: int, block_n: int,
-                  block_k: int, interpret: bool):
+                  block_k: int, interpret: bool,
+                  main_precision=jax.lax.Precision.HIGHEST):
     n, t = W0.shape
     import math
 
@@ -132,7 +135,8 @@ def _qform_pallas(Th, Tl, W0, Bh, Bl, s2, *, block_m: int, block_n: int,
     W0p, Bhp, Blp = padnt(W0), padnt(Bh), padnt(Bl)
     jt_s, at_s, kt_s = tpad // block_n, npad // block_m, npad // block_k
 
-    kern = functools.partial(_qform_kernel, k_steps=kt_s, barriers=interpret)
+    kern = functools.partial(_qform_kernel, k_steps=kt_s, barriers=interpret,
+                             main_precision=main_precision)
     qh, ql = pl.pallas_call(
         kern,
         grid=(jt_s, at_s, kt_s),
@@ -213,7 +217,8 @@ def _qform_f64(Th, Tl, W0, Bh, Bl, s2):
 
 
 def qform_refined(Th, Tl, W0, Bh, Bl, s, *, block_m=512, block_n=512,
-                  block_k=512, interpret=None):
+                  block_k=512, interpret=None,
+                  main_precision=jax.lax.Precision.HIGHEST):
     """q ≈ diag(Bᵀ (Th+Tl+s²I)⁻¹ B) as a df pair (qh, ql), given an
     approximate solve W0 — second-order-accurate in W0's residual (see
     module docstring). Th/Tl: (n, n) df Gram; W0, Bh, Bl: (n, t); s: noise
@@ -241,5 +246,5 @@ def qform_refined(Th, Tl, W0, Bh, Bl, s, *, block_m=512, block_n=512,
         Th.astype(f32), jnp.asarray(Tl, f32), jnp.asarray(W0, f32),
         jnp.asarray(Bh, f32), jnp.asarray(Bl, f32), s2,
         block_m=block_m, block_n=block_n, block_k=block_k,
-        interpret=bool(interpret),
+        interpret=bool(interpret), main_precision=main_precision,
     )

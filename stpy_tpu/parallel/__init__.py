@@ -14,6 +14,7 @@ from stpy_tpu.parallel.iterative import (
     nystrom_precond_from_cross,
     pivoted_cholesky_kernel,
     randomized_eig_precond,
+    rayleigh_nystrom_precond,
 )
 from stpy_tpu.parallel.slq import slq_logdet, slq_trace_fn, evidence_matvec_only
 from stpy_tpu.parallel.blocked import (

@@ -172,15 +172,17 @@ def _evidence_body_sum(
 
     M_inv = None
     if precond_rank > 0:
-        from stpy_tpu.parallel.iterative import randomized_eig_precond
+        from stpy_tpu.parallel.iterative import rayleigh_nystrom_precond
 
-        # two-pass randomized EVD, not column Nyström: eigenvalues come
-        # from a Rayleigh compression QᵀKQ, so junk-large estimates that
-        # stall CG are impossible (see randomized_eig_precond docstring
-        # for the measured rank-2048 failure of the inverse-based lift)
+        # landmark-sketch Rayleigh EVD: landmark columns for range
+        # coverage, Rayleigh compression QᵀKQ for junk-proof eigenvalues
+        # (see rayleigh_nystrom_precond for the measured failure ladder
+        # of the inverse-lift and Gaussian-sketch alternatives)
         r = int(min(precond_rank, n))
-        M_inv = randomized_eig_precond(Amm, n, r, noise,
-                                       jax.random.fold_in(key, 7))
+        idx = jax.random.choice(jax.random.fold_in(key, 7), n, (r,),
+                                replace=False)
+        C = _sum_cross_gram(xs_atoms, desc, gammas, kappas, idx, yv.dtype)
+        M_inv = rayleigh_nystrom_precond(C, Amm, noise)
 
     alpha, _, _ = cg_solve(Av, yv, M_inv=M_inv, tol=cg_tol,
                            maxiter=cg_maxiter)
@@ -314,15 +316,17 @@ def _evg_general_core(ko_id, chunk, probes, cg_tol, cg_maxiter,
 
         M_inv = None
         if precond_rank > 0:
-            from stpy_tpu.parallel.iterative import randomized_eig_precond
+            from stpy_tpu.parallel.iterative import rayleigh_nystrom_precond
 
-            # two-pass randomized EVD (see randomized_eig_precond): the
-            # Rayleigh-compressed eigenvalues cannot produce the junk
-            # directions that stalled the inverse-based Nyström lift
+            # landmark-sketch Rayleigh EVD (see rayleigh_nystrom_precond):
+            # landmark columns for coverage, Rayleigh-compressed
+            # eigenvalues for stability at any rank
             r = int(min(precond_rank, n))
-            M_inv = randomized_eig_precond(
-                lambda V: mm(V, pd0) + (s0 * s0) * V, n, r, s0,
-                jax.random.fold_in(key, 7))
+            idx = jax.random.choice(jax.random.fold_in(key, 7), n, (r,),
+                                    replace=False)
+            C = kernel_object.eval_params(pd0, x, x[idx])   # (n, r)
+            M_inv = rayleigh_nystrom_precond(
+                C, lambda V: mm(V, pd0) + (s0 * s0) * V, s0)
 
         alpha, _, _ = cg_solve(Av, yv, M_inv=M_inv, tol=cg_tol,
                                maxiter=cg_maxiter)

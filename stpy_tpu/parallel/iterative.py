@@ -173,7 +173,12 @@ def lowrank_eigen_precond(B, noise):
     lam = jnp.maximum(lam, 0.0)
     U = Qn @ V                                  # orthonormal at any κ
     s2 = noise * noise
-    coef = lam / (lam + s2)
+    # SPD deflation cap (see _rayleigh_compress_precond): once σ²/λ drops
+    # below U's f32 orthonormality error, the exact coefficient makes
+    # I − U·coef·Uᵀ indefinite and CG breaks — cap the deflation at
+    # 1 − 256·eps so the apply keeps a positive margin on hardware.
+    cmax = 1.0 - 256.0 * float(jnp.finfo(jnp.asarray(B).dtype).eps)
+    coef = jnp.minimum(lam / (lam + s2), cmax)
 
     def M_inv(rhs):
         rhs2 = rhs if rhs.ndim == 2 else rhs[:, None]
@@ -191,34 +196,11 @@ def make_pivchol_precond(Lm, noise):
     return lowrank_eigen_precond(Lm.T, noise)
 
 
-def randomized_eig_precond(matmat, n, rank, noise, key, *, block=128):
-    """SPD apply of (K_r + σ²I)⁻¹ from a TWO-PASS randomized EVD of K —
-    the junk-proof construction for large-n PCG preconditioning.
-
-    Why a third construction (after pivoted Cholesky and column Nyström):
-    any scheme that builds a low-rank factor B by *inverting* a small
-    matrix (Nyström's B = C·W^{-1/2}, pivchol's column scaling) amplifies
-    the near-null directions of that small matrix. QR-first lifting fixes
-    U's ORTHONORMALITY at any κ (see lowrank_eigen_precond), but the
-    EIGENVALUES paired with those directions are still estimated from the
-    amplified factor — and a junk-large λ̂ in a direction where K is
-    actually small makes M⁻¹(K+σ²I) have an eigenvalue ≈ σ²/λ̂ ≈ 0, which
-    STALLS CG (measured: the 65k sum-kernel QR-Nyström converges at ranks
-    512 and 4096 but stalls at 2048 with orthonormality at 1.5e-5 and a
-    clamped negative tail — r3 batches H2/K).
-
-    The two-pass EVD has no inverse anywhere: sketch Y = K·Ω, orthonormal
-    range basis Q = qr(Y), Rayleigh compression T = QᵀKQ (exactly a
-    compression of K, so eigh(T) interlaces K's true spectrum — junk-large
-    estimates are impossible beyond matvec noise), U = Q·V. Costs one
-    extra K·(n, r) pass vs Nyström — two passes of the fused block matmat
-    at `block` RHS per sweep — plus one (n, r) QR and one (r, r) eigh.
-
-    `matmat` must compute (K + σ²I)·V for (n, b) blocks (the lazy-path
-    convention); σ² is subtracted here. Returns the eigenform apply
-    M⁻¹v = (v − U diag(λ/(λ+σ²)) Uᵀv)/σ², SPD by construction."""
+def _blocked_k_apply(matmat, noise, block):
+    """K·V from the lazy-path convention matmat ((K + σ²I)·V): σ² is
+    subtracted, and wide V is fed through in `block`-column slabs (the
+    fused Gram matmat's RHS budget)."""
     s2 = noise * noise
-    r = int(min(rank, n))
 
     def k_apply(V):
         outs = []
@@ -227,16 +209,50 @@ def randomized_eig_precond(matmat, n, rank, noise, key, *, block=128):
             outs.append(matmat(blk) - s2 * blk)
         return jnp.concatenate(outs, axis=1)
 
-    from stpy_tpu.config import default_dtype
+    return k_apply
 
-    Om = jax.random.normal(key, (n, r), default_dtype())
-    Q, _ = jnp.linalg.qr(k_apply(Om))
+
+def _rayleigh_compress_precond(Y, k_apply, noise):
+    """SPD apply of (K_r + σ²I)⁻¹ from the Rayleigh compression of K onto
+    a sketch Y — the junk-proof eigenvalue construction.
+
+    Why (after pivoted Cholesky and column Nyström): any scheme that
+    builds a low-rank factor B by *inverting* a small matrix (Nyström's
+    B = C·W^{-1/2}, pivchol's column scaling) amplifies the near-null
+    directions of that small matrix. QR-first lifting fixes U's
+    ORTHONORMALITY at any κ (see lowrank_eigen_precond), but the
+    EIGENVALUES paired with those directions are still estimated from the
+    amplified factor — at n=65k the rank-2048/4096 compressions carried
+    NEGATIVE tail estimates (-1.7e-4/-9.0e-4 against σ² = 4e-2, r3 batch
+    K) and the rank sweep went non-monotone (512 converges, 2048 stalls,
+    4096 converges — batch H2). Here there is no inverse anywhere:
+    orthonormal basis Q = qr(Y), compression T = QᵀKQ (eigh(T) interlaces
+    K's true spectrum, so junk-large estimates are impossible beyond
+    matvec noise), U = Q·V. Returns the eigenform apply
+    M⁻¹v = (v − U diag(λ/(λ+σ²)) Uᵀv)/σ², SPD by construction.
+
+    Two f32 safeguards make "SPD by construction" hold ON HARDWARE, not
+    just in exact arithmetic (both measured necessary, r3 batch N):
+      * a SECOND QR pass — one Householder pass leaves QᵀQ−I ~ 1.4e-5 at
+        n=65k f32 (batch K), and "twice is enough" brings it to ~eps;
+      * a DEFLATION CAP coef ≤ 1 − 256·eps — whenever σ²/λ < the
+        orthonormality error of U, the exact coefficient puts the
+        deflated direction BELOW the noise floor of I − U·coef·Uᵀ and
+        the apply goes indefinite (top eigendirections of the
+        preconditioned system measured at −0.2), which breaks CG
+        outright. The cap bounds the preconditioned condition number at
+        ~256·eps·λmax/σ² (≈ 30 for the 65k sum-kernel) instead of 1 —
+        a price of a few extra CG iterations for guaranteed SPD."""
+    s2 = noise * noise
+    Q, _ = jnp.linalg.qr(Y)
+    Q, _ = jnp.linalg.qr(Q)
     Z = k_apply(Q)
     T = Q.T @ Z
     lam, V = jnp.linalg.eigh(0.5 * (T + T.T))
     lam = jnp.maximum(lam, 0.0)
     U = Q @ V
-    coef = lam / (lam + s2)
+    cmax = 1.0 - 256.0 * float(jnp.finfo(Q.dtype).eps)
+    coef = jnp.minimum(lam / (lam + s2), cmax)
 
     def M_inv(rhs):
         rhs2 = rhs if rhs.ndim == 2 else rhs[:, None]
@@ -245,6 +261,50 @@ def randomized_eig_precond(matmat, n, rank, noise, key, *, block=128):
         return out if rhs.ndim == 2 else out.reshape(rhs.shape)
 
     return M_inv
+
+
+def rayleigh_nystrom_precond(C, matmat, noise, *, block=128):
+    """Landmark-sketch Rayleigh EVD preconditioner — THE large-n default.
+
+    Range basis from the landmark cross-Gram C = K[:, idx] (kernel Gram
+    columns are a far better rank-r range basis than a Gaussian sketch
+    when the spectrum decays slowly: at n=65k/rank=512 the sum-kernel PCG
+    converges in ~65 iters from the landmark range where the one-pass
+    Gaussian sketch of the same rank left CG STALLED — its Rayleigh-Ritz
+    values underestimate and mix across the heavy mid-spectrum; r3
+    batches H2/L). Eigenvalues from the Rayleigh compression QᵀKQ, which
+    cannot produce the junk estimates of the inverse-based Nyström lift
+    (see _rayleigh_compress_precond). Construction: one (n, r) QR + one
+    fused K·(n, r) sweep + one (r, r) eigh.
+
+    `matmat` computes (K + σ²I)·V for (n, b) blocks (the lazy-path
+    convention); σ² is subtracted internally."""
+    return _rayleigh_compress_precond(
+        jnp.asarray(C), _blocked_k_apply(matmat, noise, block), noise)
+
+
+def randomized_eig_precond(matmat, n, rank, noise, key, *, block=128):
+    """Two-pass randomized EVD preconditioner from a GAUSSIAN sketch:
+    Y = K·Ω, then the Rayleigh compression (_rayleigh_compress_precond).
+
+    Purely matrix-free — needs no landmark column evaluations, so it
+    works when only a black-box matmat exists. CAVEAT (measured, r3
+    batch L): on slow-decay kernel spectra the Gaussian range needs
+    substantially more rank than landmark columns for the same CG
+    coverage — at n=65k the rank-512 sketch left the sum-kernel PCG
+    stalled where `rayleigh_nystrom_precond` converges, while rank 2048
+    converged in 41 iters (beating the inverse-lift construction, which
+    stalls there). Prefer `rayleigh_nystrom_precond` whenever kernel
+    columns are available.
+
+    `matmat` computes (K + σ²I)·V for (n, b) blocks; σ² is subtracted
+    internally."""
+    r = int(min(rank, n))
+    from stpy_tpu.config import default_dtype
+
+    k_apply = _blocked_k_apply(matmat, noise, block)
+    Om = jax.random.normal(key, (n, r), default_dtype())
+    return _rayleigh_compress_precond(k_apply(Om), k_apply, noise)
 
 
 def nystrom_precond_from_cross(C, idx, noise, shift=1e-5):
@@ -347,19 +407,19 @@ class IterativeGP:
         if self.lazy and self.mesh is None:
             M_inv = None
             if self.precond_rank > 0:
-                # two-pass randomized EVD, not column Nyström or greedy
-                # pivoted Cholesky: the rank the 65k system needs for
-                # coverage (the >σ² eigenspace grows ~linearly with n) is
-                # exactly where the inverse-based constructions become
-                # numerically treacherous — see randomized_eig_precond's
-                # docstring for the measured failure ladder (r3 batches
-                # A/C4/H/H2/K). Costs two fused Gram-block sweeps at
-                # construction; every step is an orthogonal transform or
-                # a small eigh, stable at any rank and condition number.
+                # landmark-sketch Rayleigh EVD: landmark Gram columns give
+                # the coverage a Gaussian sketch of equal rank lacks on
+                # slow-decay spectra, and the Rayleigh compression gives
+                # eigenvalues the inverse-based Nyström lift cannot —
+                # see rayleigh_nystrom_precond's docstring for the
+                # measured failure ladder (r3 batches A/C4/H/H2/K/L).
                 r = int(min(self.precond_rank, x.shape[0]))
-                M_inv = randomized_eig_precond(
-                    self._lazy_matmat(x), x.shape[0], r, self.s,
-                    jax.random.fold_in(jax.random.PRNGKey(0), 7))
+                idx = jax.random.choice(
+                    jax.random.fold_in(jax.random.PRNGKey(0), 7),
+                    x.shape[0], (r,), replace=False)
+                C = ko.eval_params(ko.params_dict, x, x[idx])
+                M_inv = rayleigh_nystrom_precond(
+                    C, self._lazy_matmat(x), self.s)
             return self._lazy_matvec_or_none(x), M_inv
 
         if self.mesh is None:

@@ -590,3 +590,46 @@ def test_randomized_eig_precond_high_condition_f32():
     # exactly this: rank 2048 stalled while 512 and 4096 converged)
     assert iters == sorted(iters, reverse=True), iters
     assert iters[-1] < int(it0) // 5, iters
+
+
+def test_rayleigh_nystrom_precond_high_condition_f32():
+    """Landmark-sketch Rayleigh EVD (the IterativeGP/bbmm default) on the
+    κ-stressed f32 system, with the construction END-TO-END in f32 (the
+    Gaussian-sketch test above builds its sketch in the x64 default dtype;
+    this one exercises exactly the TPU arithmetic). Without the SPD
+    deflation cap this configuration DIVERGES outright: σ²/λmax ≈ 3e-7 is
+    below the f32 orthonormality error of U, so the exact coefficient
+    makes I − U·coef·Uᵀ indefinite (measured preconditioned eigenvalue
+    −0.2, residual 1.1 after 1500 iters)."""
+    from stpy_tpu.parallel import cg_solve, rayleigh_nystrom_precond
+
+    rng = np.random.default_rng(73)
+    n, d, s = 1536, 2, 0.02
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)), jnp.float32)
+    sq = jnp.maximum(jnp.sum(x * x, 1)[:, None] + jnp.sum(x * x, 1)[None, :]
+                     - 2 * x @ x.T, 0)
+    K = jnp.exp(-sq / (2 * 0.7 * 0.7)) + jnp.exp(
+        -jnp.sqrt(sq + 1e-12) / 1.1)
+    A = K + jnp.float32(s * s) * jnp.eye(n, dtype=jnp.float32)
+    yv = jnp.sin(3 * x[:, 0]).astype(jnp.float32)
+
+    mv = lambda v: A @ v
+    mm = lambda V: A @ V
+    _, it0, _ = cg_solve(mv, yv, tol=1e-6, maxiter=1500)
+
+    iters = [int(it0)]
+    for rank in (96, 192, 384):
+        idx = np.asarray(
+            rng.choice(n, rank, replace=False), np.int32)
+        C = K[:, idx]
+        assert C.dtype == jnp.float32
+        M_inv = rayleigh_nystrom_precond(C, mm, jnp.float32(s))
+        sol, it1, res1 = cg_solve(mv, yv, M_inv=M_inv, tol=1e-6,
+                                  maxiter=1500)
+        # every rank CONVERGES (the pre-cap construction diverged) ...
+        assert float(res1) < 1e-5, (rank, float(res1))
+        assert int(it1) < int(0.8 * int(it0)), (rank, int(it1), int(it0))
+        iters.append(int(it1))
+    # ... more rank strictly helps, and the largest rank accelerates hard
+    assert iters == sorted(iters, reverse=True), iters
+    assert iters[-1] < int(it0) // 3, iters
