@@ -91,7 +91,7 @@ def acc(mu, sd, mu64, var64):
     return mean_rel, np.max(vrel), np.median(vrel)
 
 
-def c1_double_accuracy(n=16384, d=8, s=0.1):
+def c1_double_accuracy(n=16384, d=8, s=0.1, gp_kwargs=None, tag=""):
     from stpy_tpu.kernels import KernelFunction
     from stpy_tpu.models import GaussianProcess
 
@@ -122,14 +122,14 @@ def c1_double_accuracy(n=16384, d=8, s=0.1):
         for vr in (0, 1):
             try:
                 gp = GaussianProcess(kernel=mk(), s=s, precision="double",
-                                     var_refine=vr)
+                                     var_refine=vr, **(gp_kwargs or {}))
                 gp.fit_gp(x, y)
                 force(gp.mean_std(xtj))                      # compile
                 wall, (mu, sd) = timed(
                     lambda: (gp.fit_gp(x, y), gp.mean_std(xtj))[-1]
                 )
                 m, vmax, vmed = acc(mu, sd, mu64, var64)
-                print(f"{name:10s} double vr={vr}  warm {wall:6.3f}s  "
+                print(f"{name:10s} double{tag} vr={vr}  warm {wall:6.3f}s  "
                       f"mean rel {m:.2e}  var max {vmax:.2e} med {vmed:.2e}",
                       flush=True)
             except Exception:

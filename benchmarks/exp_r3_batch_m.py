@@ -11,14 +11,14 @@ per knob setting:
       df quadratic form.
   M2. WHICH stages the accuracy actually needs — mean/var error vs the
       cached f64 host reference (C1 se config) across a knob grid:
-        ir ∈ {2, 3} refinement steps,
-        W0 solve precision ∈ {DEFAULT, HIGH},
-        qform main product ∈ {HIGH, HIGHEST}.
+        ir ∈ {1, 2, 3} refinement steps,
+        W0 solve precision ∈ {DEFAULT, HIGH}.
       The second-order identity says var error ~ (W0 residual)², so a
-      DEFAULT W0 (bf16 GEMMs, ~3x the HIGH rate) may survive; the qform
-      main product is the single largest term (~280 ms at the HIGHEST
-      31 TFLOP/s ceiling; HIGH is 2x that rate at ~8-16x the per-tile
-      rounding).
+      DEFAULT W0 (bf16 GEMMs, ~3x the HIGH rate) may survive. The qform
+      main product stays HIGHEST: Mosaic's dot lowering supports only
+      DEFAULT and HIGHEST inside Pallas kernels (HIGH raised
+      NotImplementedError on the first attempt), and DEFAULT's 8-bit
+      mantissa main product would cost ~3 digits of q.
 
 Run on the TPU host: timeout 7200 python benchmarks/exp_r3_batch_m.py
 """
@@ -120,7 +120,7 @@ def main():
         return qform_refined(Kh, Kl, W0, BhT, BlT, sj, main_precision=prec)
 
     qf_jits = {p: jax.jit(lambda a, b, c, d2, e, p=p: qform(a, b, c, d2, e, p))
-               for p in (HIGH, HI)}
+               for p in (HI,)}
 
     kss = np.asarray(gp.kernel_object.diag(xtj, pd), np.float64)
 
@@ -139,11 +139,10 @@ def main():
     tw_hi, W0 = _stage(w0_jits[HIGH], L, BhT)
     tw_def, W0d = _stage(w0_jits[DEF], L, BhT)
     tq_hi, (qh, ql) = _stage(qf_jits[HI], Kh, Kl, W0, BhT, BlT)
-    tq_high, _ = _stage(qf_jits[HIGH], Kh, Kl, W0, BhT, BlT)
     print(f"M1 walls (s): train-gram {tg:.3f}  chol {tc:.3f}  alpha0 {ta:.3f}"
           f"  ir-step {tir:.3f} (x3)  cross-gram {tx:.3f}  mean {tm:.3f}"
           f"  W0-HIGH {tw_hi:.3f}  W0-DEFAULT {tw_def:.3f}"
-          f"  qform-HIGHEST {tq_hi:.3f}  qform-HIGH {tq_high:.3f}", flush=True)
+          f"  qform-HIGHEST {tq_hi:.3f}", flush=True)
     base_total = tg + tc + ta + 3 * tir + tx + tm + tw_hi + tq_hi
     print(f"M1 base-config stage sum: {base_total:.3f} s", flush=True)
 
@@ -165,12 +164,11 @@ def main():
         print(f"M2 {tag}: mean rel {mrel:.2e}  var max {vmax:.2e} "
               f"med {vmed:.2e}", flush=True)
 
-    run(3, HIGH, HI, "ir=3 W0=HIGH qf=HIGHEST (base)")
-    run(2, HIGH, HI, "ir=2 W0=HIGH qf=HIGHEST")
-    run(1, HIGH, HI, "ir=1 W0=HIGH qf=HIGHEST")
-    run(3, DEF, HI, "ir=3 W0=DEFAULT qf=HIGHEST")
-    run(3, HIGH, HIGH, "ir=3 W0=HIGH qf=HIGH")
-    run(2, DEF, HIGH, "ir=2 W0=DEFAULT qf=HIGH")
+    run(3, HIGH, HI, "ir=3 W0=HIGH (base)")
+    run(2, HIGH, HI, "ir=2 W0=HIGH")
+    run(1, HIGH, HI, "ir=1 W0=HIGH")
+    run(3, DEF, HI, "ir=3 W0=DEFAULT")
+    run(2, DEF, HI, "ir=2 W0=DEFAULT")
     print("BATCHM_DONE", flush=True)
 
 

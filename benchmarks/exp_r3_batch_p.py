@@ -32,28 +32,52 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stpy_tpu.ops.pallas_gram_df import _df_exp, _make_eft, _split_f64
+from stpy_tpu.ops.pallas_gram_df import (
+    _df_exp, _host_veltkamp32, _make_eft, _make_two_prod_const, _split_f64,
+)
 
 
 def _stage_kernel(sqh_ref, sql_ref, oh_ref, ol_ref, *, nu, stage):
     eft = _make_eft(False)                      # Mosaic path: no barriers
     two_sum, fast_two_sum, two_prod, df_add = eft
+    tpc = _make_two_prod_const(False)
     bitcast = lambda i: pltpu.bitcast(i, jnp.float32)
     acc_h, acc_l = sqh_ref[:], sql_ref[:]
 
-    # --- verbatim matern branch of _df_entry ---------------------------
+    # --- verbatim matern branch of _df_entry (post-fix: multiply-only
+    # Newton corrections via a refined reciprocal; the divide-based
+    # corrections floored at delta_div*delta_1 = 5.9e-8, batch P run 1) --
     safe = acc_h > 1e-36
     ah = jnp.maximum(acc_h, 1e-36)
     sh = jnp.sqrt(ah)
+    x2 = 2.0 * sh
+    r = 1.0 / x2
+    r = r * (2.0 - x2 * r)
     p, pe = two_prod(sh, sh)
-    sh = sh + ((ah - p) - pe) / (2.0 * sh)
+    sh = sh + ((ah - p) - pe) * r
+    r = r * (2.0 - (2.0 * sh) * r)
     p, pe = two_prod(sh, sh)
     err = ((ah - p) - pe) + acc_l
-    sl = err / (2.0 * sh)
+    sl = err * r
     sh = jnp.where(safe, sh, 0.0)
     sl = jnp.where(safe, sl, 0.0)
+    if stage == "sl":                       # the sqrt (hi, lo) pair itself
+        oh_ref[:], ol_ref[:] = sh, sl
+        return
+
     ch, cl = _split_f64(math.sqrt(2.0 * nu))
-    th, te = two_prod(sh, ch)
+    if stage == "t2":
+        # the ORIGINAL in-kernel constant split — kept as the regression
+        # witness: Mosaic constant-folds it and the error term dies
+        # (5.9e-8 flat, batch P3 run 1 stage "t")
+        th, te = two_prod(sh, ch)
+        te = te + sh * cl + ch * sl
+        th, tl = fast_two_sum(th, te)
+        oh_ref[:], ol_ref[:] = th, tl
+        return
+
+    # the SHIPPED path: host-presplit constant TwoProd
+    th, te = tpc(sh, _host_veltkamp32(ch))
     te = te + sh * cl + ch * sl
     th, tl = fast_two_sum(th, te)
 
@@ -61,7 +85,7 @@ def _stage_kernel(sqh_ref, sql_ref, oh_ref, ol_ref, *, nu, stage):
         oh_ref[:], ol_ref[:] = th, tl
         return
 
-    eh, el = _df_exp(-th, -tl, eft, bitcast)
+    eh, el = _df_exp(-th, -tl, eft, bitcast, tpc)
     if stage == "exp":
         oh_ref[:], ol_ref[:] = eh, el
         return
@@ -73,7 +97,7 @@ def _stage_kernel(sqh_ref, sql_ref, oh_ref, ol_ref, *, nu, stage):
         qh, qe = two_prod(th, th)
         qe = qe + 2.0 * th * tl
         oth, otl = _split_f64(1.0 / 3.0)
-        q3h, q3e = two_prod(qh, oth)
+        q3h, q3e = tpc(qh, _host_veltkamp32(oth))
         q3e = q3e + qh * otl + qe * oth
         q3h, q3l = fast_two_sum(q3h, q3e)
         ph, pe2 = two_sum(1.0, th)
@@ -113,8 +137,9 @@ def main():
             p64 = (1.0 + t64) * e64
         else:
             p64 = (1.0 + t64 + t64 * t64 / 3.0) * e64
-        refs = {"t": t64, "exp": e64, "entry": p64}
-        for stage in ("t", "exp", "entry"):
+        refs = {"t": t64, "t2": t64, "sl": np.sqrt(sqx),
+                "exp": e64, "entry": p64}
+        for stage in ("sl", "t", "t2", "exp", "entry"):
             oh, ol = run_stage(jnp.asarray(sqh), jnp.asarray(sql),
                                nu=nu, stage=stage)
             got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)

@@ -45,7 +45,7 @@ class GaussianProcess(Estimator, RandomProcess):
         bounds=None, nu=1.5, kernel=None, d=1, power=2, lam=1.0,
         loss="squared", huber_delta=1.35, hyper="classical", B=1.0,
         svr_eps=0.1, var_precision=None, precision="single", var_refine=0,
-        jitter_ladder=True,
+        jitter_ladder=True, df_refine_steps=2,
     ):
         # precision of the predictive-variance triangular-solve GEMMs:
         # None -> tri_solve_blocked's HIGH default (bf16x3; measured at
@@ -55,8 +55,9 @@ class GaussianProcess(Estimator, RandomProcess):
         # precision="double": double-float (hi, lo) Gram (ops/
         # pallas_gram_df.py) + iterative refinement of alpha + df predictive
         # mean — matches the f64 torch reference (gauss_procc.py:367-399)
-        # to <1e-6 posterior-mean rtol at n=16k on f32-only TPU hardware
-        # (measured 5.9e-7; the pure-f32 path floors at ~1.7e-6). Covers
+        # to ≤1e-7 posterior-mean rtol at n=16k on f32-only TPU hardware
+        # (measured 8.4e-8 se / 7.2e-8 matern32 / 7.7e-8 se+matern52, r3
+        # batch Q2; the pure-f32 path floors at ~5.6e-6). Covers
         # SE/ARD/Matérn(½,3/2,5/2)/laplace atoms and their +/* algebra
         # (r3); variance trisolve runs HIGHEST in this mode.
         if precision not in ("single", "double"):
@@ -72,6 +73,14 @@ class GaussianProcess(Estimator, RandomProcess):
         if var_refine and precision != "double":
             raise ValueError("var_refine requires precision='double'")
         self._var_refine = int(var_refine)
+        # double-mode iterative-refinement step count. Each step is one
+        # exact df residual GEMV + one Cholesky substitution (~0.08 s at
+        # n=16k); batch M measured ir=1 == ir=3 to every printed digit on
+        # the 16k SE ladder (one exact-residual step lands on the df
+        # representation floor), so 2 keeps one full safety step while
+        # staying under the 0.7 s fit+predict budget. Raise for extreme
+        # condition numbers (κ·u_solve approaching 1).
+        self._df_refine_steps = max(0, int(df_refine_steps))
         # jitter_ladder=False swaps safe_cholesky's escalating retry loop
         # for a single fixed-jitter factorization (chol_jittered). The
         # ladder's while_loop keeps the pre-jitter Gram live across
@@ -218,7 +227,7 @@ class GaussianProcess(Estimator, RandomProcess):
             a_h = cho_solve_blocked(L_, y)
             a_l = jnp.zeros_like(a_h)
             s2h, s2e = _two_prod(s, s)
-            for _ in range(3):
+            for _ in range(self._df_refine_steps):
                 Ph, Pl = gemv_df(Kh, Kl, a_h, vl=a_l)
                 qh, qe = _two_prod(s2h, a_h)
                 qe = qe + (s2e * a_h + s2h * a_l)

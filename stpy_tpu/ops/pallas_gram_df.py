@@ -114,6 +114,45 @@ def _make_eft(use_barriers: bool):
 _two_sum, _fast_two_sum, _two_prod, _df_add = _make_eft(True)
 
 
+def _host_veltkamp32(c: float) -> tuple[float, float, float]:
+    """(c32, hi, lo) Veltkamp split of an f32 constant, computed on HOST
+    in np.float32 semantics.
+
+    NEVER write the split of a compile-time constant as in-kernel
+    arithmetic: Mosaic constant-folds `ca - (ca - c)` in wider precision,
+    which collapses the split (hi = c, lo = 0) and silently destroys
+    TwoProd's error term — measured as a flat eps/2 ≈ 5.9e-8 relative
+    error on t = √(2ν·sq) that capped matern df Gram entries at 5.4e-8
+    and composite posterior means at 1.25e-6 (r3 batch P3: in-kernel
+    split 5.9e-8 vs host-presplit 1.9e-14, same kernel otherwise)."""
+    c32 = np.float32(c)
+    ca = np.float32(c32 * np.float32(_SPLIT))
+    hh = np.float32(ca - np.float32(ca - c32))
+    hl = np.float32(c32 - hh)
+    return float(c32), float(hh), float(hl)
+
+
+def _make_two_prod_const(use_barriers: bool):
+    """TwoProd(a, c) for a TENSOR a and a compile-time f32 constant c
+    passed as `_host_veltkamp32(c)` output — only the tensor side is
+    split in-kernel (see _host_veltkamp32 for why)."""
+    ob = jax.lax.optimization_barrier if use_barriers else (lambda x: x)
+
+    def two_prod_const(a, c_split):
+        c32, chh, chl = c_split
+        p = ob(a * c32)
+        ca = ob(a * _SPLIT)
+        ah = ob(ca - (ca - a))
+        al = a - ah
+        e = ((ah * chh - p) + ah * chl + al * chh) + al * chl
+        return p, e
+
+    return two_prod_const
+
+
+_SIXTH_SPLIT = _host_veltkamp32(_SIXTH[0])
+
+
 def _df_mul(xh, xl, yh, yl):
     """Barrier-guarded elementwise df product (for '*' kernel algebra)."""
     ph, pe = _two_prod(xh, yh)
@@ -124,10 +163,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _df_exp(wh, wl, eft, bitcast):
+def _df_exp(wh, wl, eft, bitcast, tpc=None):
     """df e^w for w ≤ 0 via range reduction; entries with w < -87 flush to
-    exactly 0. `bitcast(int32_arr) -> f32_arr` builds 2^k exactly."""
+    exactly 0. `bitcast(int32_arr) -> f32_arr` builds 2^k exactly. `tpc`:
+    tensor-x-constant TwoProd (_make_two_prod_const; defaults to the
+    barriered HLO variant)."""
     two_sum, fast_two_sum, two_prod, df_add = eft
+    if tpc is None:
+        tpc = _make_two_prod_const(True)
     live = wh > -87.0
     k = jnp.round(wh * _LOG2E)
     rh, re = two_sum(wh, -(k * _LN2_HI))
@@ -151,7 +194,7 @@ def _df_exp(wh, wl, eft, bitcast):
     cbe = cbe + (sqe * rh + sqh * rl)
     c4 = cbh * rh * q2                       # r⁴·Q2, f32 is plenty
     sxh, sxl = _SIXTH
-    t1h, t1e = two_prod(cbh, sxh)            # r³/6 in df
+    t1h, t1e = tpc(cbh, _SIXTH_SPLIT)        # r³/6 in df
     t1e = t1e + (cbh * sxl + cbe * sxh)
     eh, el = fast_two_sum(1.0, rh)
     el = el + rl
@@ -167,39 +210,54 @@ def _df_exp(wh, wl, eft, bitcast):
     return eh, el
 
 
-def _df_entry(acc_h, acc_l, kh, kl, *, family, nu, eft, bitcast):
+def _df_entry(acc_h, acc_l, kh, kl, *, family, nu, eft, bitcast, tpc=None):
     """(hi, lo) kernel entry from the df squared distance in 1/γ-scaled
     coordinates. family: "se" -> κ·e^{-sq/2}; "matern" ->
-    κ·P_ν(t)·e^{-t}, t = √(2ν·sq) (ν=½ is laplace/exp(-r/γ))."""
+    κ·P_ν(t)·e^{-t}, t = √(2ν·sq) (ν=½ is laplace/exp(-r/γ)). `tpc`:
+    tensor-x-constant TwoProd (see _host_veltkamp32 for why the generic
+    two_prod must not see compile-time constants in Mosaic)."""
     two_sum, fast_two_sum, two_prod, df_add = eft
+    if tpc is None:
+        tpc = _make_two_prod_const(True)
 
     if family == "se":
-        eh, el = _df_exp(-0.5 * acc_h, -0.5 * acc_l, eft, bitcast)
+        eh, el = _df_exp(-0.5 * acc_h, -0.5 * acc_l, eft, bitcast, tpc)
     elif family == "matern":
-        # t = √(2ν)·√sq in df: f32 sqrt + TWO exact-residual Newton steps.
-        # One step is NOT enough on the TPU: Mosaic lowers sqrt/divide to
-        # the VPU's ~2^-12 hardware approximations, so a single Newton
-        # leaves ~δ²/δ·δ_div ≈ 5e-8 relative — measured as the 5.4e-8
-        # on-device matern entry error that floored composite posterior
-        # means at ~1e-6 (r3 batch I; the HLO path's IEEE sqrt measured
-        # 1.6e-10 with one step). The second step starts from an exact
-        # TwoProd residual, landing ~max(δ⁴, δ_div·δ²) ≈ 1e-11.
+        # t = √(2ν)·√sq in df: f32 sqrt seed + exact-residual Newton steps
+        # whose corrections are MULTIPLY-ONLY. The VPU's hardware
+        # sqrt/divide are only ~2^-8 approximations, so a divide in the
+        # correction floors the pair at δ_div·δ₁ ≈ 2^-8·2^-16 ≈ 5.9e-8 —
+        # measured EXACTLY as the flat 5.9e-8 relative t error (r3 batch
+        # P stage isolation) that surfaced as the 5.4e-8 matern entry
+        # error and the 1.25e-6 composite posterior-mean plateau (batches
+        # I/I3). Fix: refine the reciprocal r ≈ 1/(2√sq) itself by
+        # Newton (r ← r·(2 − x·r), error squares to ~2^-16, and the
+        # residual 2 − x·r is Sterbenz-exact), re-centering it after the
+        # first sqrt update; both sqrt corrections then multiply by r:
+        #   step 1: δ₁ ≈ f32 add rounding ≈ 1.2e-7,
+        #   step 2 (lo limb): sl error ≈ r_err·|sl| ≈ 1.5e-5·1.2e-7·√sq
+        # — the (hi, lo) pair lands ~2e-12 relative (vs 1.6e-10 for the
+        # HLO path's IEEE ops).
         safe = acc_h > 1e-36
         ah = jnp.maximum(acc_h, 1e-36)
         sh = jnp.sqrt(ah)
+        x2 = 2.0 * sh
+        r = 1.0 / x2
+        r = r * (2.0 - x2 * r)
         p, pe = two_prod(sh, sh)
-        sh = sh + ((ah - p) - pe) / (2.0 * sh)
+        sh = sh + ((ah - p) - pe) * r
+        r = r * (2.0 - (2.0 * sh) * r)
         p, pe = two_prod(sh, sh)
         err = ((ah - p) - pe) + acc_l
-        sl = err / (2.0 * sh)
+        sl = err * r
         sh = jnp.where(safe, sh, 0.0)
         sl = jnp.where(safe, sl, 0.0)
         ch, cl = _split_f64(math.sqrt(2.0 * nu))
-        th, te = two_prod(sh, ch)
+        th, te = tpc(sh, _host_veltkamp32(ch))
         te = te + sh * cl + ch * sl
         th, tl = fast_two_sum(th, te)
 
-        eh, el = _df_exp(-th, -tl, eft, bitcast)
+        eh, el = _df_exp(-th, -tl, eft, bitcast, tpc)
 
         if nu == 1.5:                      # P = 1 + t
             ph, pe2 = two_sum(1.0, th)
@@ -208,7 +266,7 @@ def _df_entry(acc_h, acc_l, kh, kl, *, family, nu, eft, bitcast):
             qh, qe = two_prod(th, th)
             qe = qe + 2.0 * th * tl
             oth, otl = _split_f64(1.0 / 3.0)
-            q3h, q3e = two_prod(qh, oth)
+            q3h, q3e = tpc(qh, _host_veltkamp32(oth))
             q3e = q3e + qh * otl + qe * oth
             q3h, q3l = fast_two_sum(q3h, q3e)
             ph, pe2 = two_sum(1.0, th)
@@ -247,6 +305,7 @@ def _gram_df_kernel(kap_ref, xh_ref, xl_ref, yh_ref, yl_ref,
         acc_h, acc_l, kap_ref[0, 0], kap_ref[0, 1],
         family=family, nu=nu, eft=eft,
         bitcast=lambda i: pltpu.bitcast(i, jnp.float32),
+        tpc=_make_two_prod_const(barriers),
     )
     oh_ref[:] = oh
     ol_ref[:] = ol
