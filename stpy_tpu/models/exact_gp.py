@@ -274,9 +274,14 @@ class GaussianProcess(Estimator, RandomProcess):
             kss = self.kernel_object.diag(xtest, params_dict)
             # W0 only needs to leave a SMALL residual (error enters q at
             # second order): HIGH (bf16x3) GEMM substitution is plenty and
-            # ~2x the HIGHEST rate
-            W0 = cho_solve_blocked(L, Kh.T,
-                                   precision=jax.lax.Precision.HIGH)
+            # ~2x the HIGHEST rate. var_precision=HIGHEST buys a smaller
+            # second-order term for ~+0.14 s (the var_precision knob
+            # repurposed: in single mode it picks the trisolve precision,
+            # here the W0 solve precision).
+            W0 = cho_solve_blocked(
+                L, Kh.T,
+                precision=(self._var_precision
+                           or jax.lax.Precision.HIGH))
             qh, ql = qform_refined(Th, Tl, W0, Kh.T, Kl.T, s)
             var = jnp.maximum((kss - qh) - ql, 1e-30)
             return mu, jnp.sqrt(var)[:, None]
@@ -290,11 +295,23 @@ class GaussianProcess(Estimator, RandomProcess):
                 L, self._A_df, self._df_train[0], self._df_train[1], x, xt,
                 pd, jnp.asarray(self.s, x.dtype)
             )
+
+            def fit_predict(x, y, params_dict, s, xtest):
+                L_, alpha, ok_, jit_, Th, Tl = fit(x, y, params_dict, s)
+                mu, sd = predict_refined(L_, alpha, Th, Tl, x, xtest,
+                                         params_dict, s)
+                return (L_, alpha, ok_, jit_, Th, Tl), (mu, sd)
         else:
             _pjit = jax.jit(predict)
             self._predict_fn = lambda L, A, x, xt, pd: _pjit(
                 L, self._A_df, x, xt, pd, jnp.asarray(self.s, x.dtype)
             )
+
+            def fit_predict(x, y, params_dict, s, xtest):
+                L_, alpha, ok_, jit_ = fit(x, y, params_dict, s)
+                mu, sd = predict(L_, alpha, x, xtest, params_dict, s)
+                return (L_, alpha, ok_, jit_), (mu, sd)
+        self._fit_predict_fn = jax.jit(fit_predict)
 
     def _build_jits(self):
         kernel = self.kernel_object
@@ -339,9 +356,15 @@ class GaussianProcess(Estimator, RandomProcess):
             cov = Kss - V.T @ V
             return mu, cov
 
+        def fit_predict(x, y, params_dict, s, xtest):
+            L, alpha, ok, jitter = fit(x, y, params_dict, s)
+            mu, sd = predict(L, alpha, x, xtest, params_dict)
+            return (L, alpha, ok, jitter), (mu, sd)
+
         self._fit_fn = jax.jit(fit)
         self._predict_fn = jax.jit(predict)
         self._predict_full_fn = jax.jit(predict_full)
+        self._fit_predict_fn = jax.jit(fit_predict)
         if self._precision == "double":
             self._build_df_jits()  # overrides fit/predict, keeps full-cov
 
@@ -401,6 +424,45 @@ class GaussianProcess(Estimator, RandomProcess):
             self.fit_gp(x, y)
         else:
             self.fit_gp(self.x, self.y)
+
+    def fit_predict(self, x, y, xtest):
+        """Fused fit + posterior (mu, std): the whole Gram → Cholesky →
+        solve → cross-Gram → mean/variance pipeline runs as ONE compiled
+        XLA program — one host dispatch instead of two (~31 ms each
+        through this tunnel) and the compiler can overlap independent
+        stages (e.g. the test cross-Gram with the factorization). State
+        is stored exactly as after fit_gp(x, y), so mean_std/sample keep
+        working afterwards. Robust losses fall back to the two-call path.
+        Parity note: the reference has no fused call (fit_gp
+        gauss_procc.py:136 + mean_std :310 are always separate); this is
+        TPU dispatch-floor engineering for the serving path."""
+        x = as_array(x)
+        y = as_array(y).reshape(-1, 1)
+        xtest = as_array(xtest)
+        if self.loss != "squared":
+            self.fit_gp(x, y)
+            return self.mean_std(xtest)
+        self.n, self.d = x.shape
+        self.x, self.y = x, y
+        if self._fit_fn is None:
+            self._build_jits()
+        out, (mu, sd) = self._fit_predict_fn(
+            x, y, self.kernel_object.params_dict,
+            jnp.asarray(self.s, x.dtype), xtest,
+        )
+        self.L, self.A, chol_ok, jitter_used = out[:4]
+        if self._precision == "double":
+            self._A_df = self.A
+            self.A = self._A_df[:, :1]
+        if len(out) == 6:
+            self._df_train = (out[4], out[5])
+        self.fit_status = {
+            "cholesky_ok": bool(chol_ok),
+            "jitter_used": float(jitter_used),
+            "n": int(self.n),
+        }
+        self.fitted = True
+        return mu, sd
 
     def add_data_point(self, x, y, Sigma=None):
         x, y = as_array(x), as_array(y).reshape(-1, 1)

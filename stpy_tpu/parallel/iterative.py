@@ -11,8 +11,10 @@ Cholesky, solves (K + σ²I) x = b with
   * a block-Jacobi preconditioner from each device's diagonal block
     Cholesky.
 Memory per device is O(n²/p) so n scales with the mesh. The same machinery
-powers posterior-mean prediction and pathwise sampling; variance/logdet via
-stochastic Lanczos are planned follow-ups.
+powers posterior mean/variance prediction (exact block-PCG per test
+column, or Hutchinson probes for very large test sets — `mean_std`),
+pathwise sampling (`sample_pathwise`), SLQ logdet (parallel/slq.py), and
+the matrix-free evidence hyperfit (`optimize_params` → parallel/bbmm.py).
 """
 
 from __future__ import annotations
@@ -334,9 +336,9 @@ def nystrom_precond_from_cross(C, idx, noise, shift=1e-5):
 class IterativeGP:
     """Large-n exact-GP inference by preconditioned CG over a mesh.
 
-    API mirrors GaussianProcess.fit_gp/mean (variance via CG probes is a
-    follow-up); designed for n where a dense Cholesky no longer fits one
-    chip."""
+    API mirrors GaussianProcess (fit_gp / mean / mean_std /
+    sample_pathwise / optimize_params); designed for n where a dense
+    Cholesky no longer fits one chip."""
 
     def __init__(self, kernel_object, s=0.1, mesh=None, axis="tp",
                  precond_block=2048, tol=1e-6, maxiter=500, lazy=False,

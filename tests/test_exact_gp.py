@@ -333,3 +333,23 @@ def test_fixed_jitter_fit_matches_ladder(data1d):
     assert np.allclose(np.asarray(mu_l), np.asarray(mu_f), atol=1e-8)
     assert np.allclose(np.asarray(sd_l), np.asarray(sd_f), atol=1e-8)
     assert gp_f.fit_status["cholesky_ok"] is True
+
+
+def test_fit_predict_fused_matches_two_call(data1d):
+    """fit_predict (one compiled program — the serving path) must be
+    BIT-identical to fit_gp + mean_std in every precision mode, and must
+    leave the object in the same fitted state."""
+    x, y, xt = data1d
+    for kw in ({}, {"precision": "double"},
+               {"precision": "double", "var_refine": 1}):
+        gp_a = GaussianProcess(gamma=0.5, s=0.1, d=1, **kw)
+        gp_a.fit_gp(x, y)
+        mu_a, sd_a = gp_a.mean_std(xt)
+        gp_b = GaussianProcess(gamma=0.5, s=0.1, d=1, **kw)
+        mu_b, sd_b = gp_b.fit_predict(x, y, xt)
+        assert np.array_equal(np.asarray(mu_a), np.asarray(mu_b)), kw
+        assert np.array_equal(np.asarray(sd_a), np.asarray(sd_b)), kw
+        # post-call state drives the stateful API identically
+        mu_c, sd_c = gp_b.mean_std(xt)
+        assert np.array_equal(np.asarray(mu_a), np.asarray(mu_c)), kw
+        assert gp_b.fit_status["cholesky_ok"] is True
