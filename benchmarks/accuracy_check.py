@@ -5,7 +5,7 @@ Measures what the precision policy (docs/DESIGN.md §2/§5) actually delivers:
 posterior mean / std errors at a given n, for both precision modes:
 
   single : f32 Pallas Gram, Cholesky, blocked trisolve (HIGH default)
-  double : double-float (hi, lo) Pallas Gram + 2x iterative refinement +
+  double : double-float (hi, lo) Pallas Gram + iterative refinement +
            df predictive mean (ops/pallas_gram_df.py), HIGHEST trisolve
 
 Run on a TPU host:   python benchmarks/accuracy_check.py [n]

@@ -10,10 +10,12 @@ a TPU takes compensated arithmetic, exposed as two knobs on
                        var max 6.9e-4. Fastest: 0.21 s fit+predict (v5e).
   precision="double"   the Gram is built as DOUBLE-FLOAT (hi, lo) pairs by
                        a Pallas kernel (error-free transforms on the VPU,
-                       ~2e-9 per entry), the fit runs 3 iterative-
-                       refinement steps with an EXACT df residual GEMV,
-                       and the predictive mean uses the same exact GEMV:
-                       mean 9.7e-8 at n=16k. Covers SE/ARD, Matérn
+                       ~1.3e-10 per entry), the fit runs iterative-
+                       refinement steps (`df_refine_steps`, default 2)
+                       with an EXACT df residual GEMV, and the predictive
+                       mean uses the same exact GEMV: mean ≤1e-7 at n=16k
+                       for every df family (se 8.4e-8, matern32 7.2e-8,
+                       se+matern52 7.7e-8). Covers SE/ARD, Matérn
                        ν ∈ {1/2, 3/2, 5/2}, laplace, and +/* algebra of
                        those atoms.
   var_refine=1         (with precision="double") replaces the predictive-
