@@ -67,11 +67,20 @@ def main():
     Kh, Kl = _gram_df_pallas(ah, al, bh, bl, kap, block_m=256, block_n=256,
                              interpret=False, family="matern", nu=NU)
     K = np.asarray(Kh, np.float64) + np.asarray(Kl, np.float64)
+    Kl_np = np.asarray(Kl, np.float64)
+    Kh_np = np.asarray(Kh, np.float64)
     for (i, j) in WORST:
         sq = ((xt[i].astype(np.float64) - x[j].astype(np.float64)) / G) ** 2
         sq = sq.sum()
-        print(f"W3 ({i},{j}): one-shot err {abs(K[i, j] - k64f(sq)):.2e}",
+        r = k64f(sq)
+        print(f"W3 ({i},{j}): one-shot err {abs(K[i, j] - r):.2e}  "
+              f"hi-only err {abs(Kh_np[i, j] - r):.2e}  "
+              f"lo {Kl_np[i, j]:.3e}  true-lo {r - np.float32(r):.3e}",
               flush=True)
+    # if the lo limb is globally lost, |Kl| collapses vs eps/2*|Kh|
+    print(f"W3 |Kl| median {np.median(np.abs(Kl_np)):.2e}  "
+          f"eps/2*|Kh| median {np.median(np.abs(Kh_np)) * 6e-8:.2e}",
+          flush=True)
     print("BATCHW_DONE", flush=True)
 
 
