@@ -398,16 +398,32 @@ class GaussianProcess(Estimator, RandomProcess):
                 "n": int(self.n),
             }
         else:
-            if self._precision == "double" and self._var_refine > 0:
+            if self._precision == "double":
+                # the df fit/predict pipeline models isotropic s only —
+                # raising beats silently serving a stale _A_df pair (the
+                # df predict would pair the new L with the previous fit's
+                # alpha) or a quiet precision downgrade
                 raise NotImplementedError(
                     "per-point Sigma noise is not supported with "
-                    "precision='double', var_refine>0 (the df fit models "
-                    "isotropic s only)"
+                    "precision='double' (the df fit models isotropic s "
+                    "only); use precision='single'"
                 )
             Sigma = as_array(Sigma)
             K = self.kernel_object.gram(x) + Sigma.T @ Sigma
-            res = safe_cholesky(K)
-            self.L, self.A = res.L, cho_solve(res.L, y)
+            if self._jitter_ladder:
+                res = safe_cholesky(K)
+                L, ok, jitter = res.L, res.ok, res.jitter
+            else:
+                L = chol_jittered(K)
+                ok = jnp.all(jnp.isfinite(L))
+                jitter = (default_jitter(K.dtype)
+                          * jnp.mean(jnp.diagonal(K))).astype(K.dtype)
+            self.L, self.A = L, cho_solve(L, y)
+            self.fit_status = {
+                "cholesky_ok": bool(ok),
+                "jitter_used": float(jitter),
+                "n": int(self.n),
+            }
         if self.loss != "squared":
             self.A = self._robust_alpha()
             if self._precision == "double":
@@ -925,25 +941,48 @@ class GaussianProcess(Estimator, RandomProcess):
             jnp.any(jnp.linalg.norm(self.x - xnext, axis=1) < epsilon)
         )
 
+    def _pointwise_posterior_fns(self):
+        """Differentiable single-point posterior mean/variance closures on
+        the STORED factor/alpha — used by the gradient helpers instead of
+        mean_std: the double-mode predict runs through the df Pallas Gram,
+        which has no VJP rule on TPU (reverse-mode would raise), and
+        gradients never need df accuracy (the f32 alpha hi column is off
+        by ~1e-7 relative, far below autodiff's use cases here)."""
+        ko = self.kernel_object
+        pd = ko.params_dict
+        A = self.A
+
+        def mu_fn(pt):
+            K_star = ko.eval_params(pd, pt[None, :], self.x)
+            return (K_star @ A)[0, 0]
+
+        def var_fn(pt):
+            K_star = ko.eval_params(pd, pt[None, :], self.x)
+            v = tri_solve(self.L, K_star.T)
+            kss = ko.diag(pt[None, :], pd)[0]
+            return kss - jnp.sum(v * v)
+
+        return mu_fn, var_fn
+
     def gradient_mean_var(self, point, hessian=True):
         """Gradient of the posterior mean and (optionally) the Hessian-form
         variance object at a single point (parity: gauss_procc.py:416-444;
         autodiff instead of hand-assembled kernel derivatives)."""
         point = as_array(point).reshape(-1)
-        nabla_mu = jax.grad(
-            lambda pt: self.mean_std(pt[None, :])[0][0, 0]
-        )(point)
+        mu_fn, var_fn = self._pointwise_posterior_fns()
+        nabla_mu = jax.grad(mu_fn)(point)
         if not hessian:
             return nabla_mu
-        var_fn = lambda pt: (self.mean_std(pt[None, :])[1][0, 0]) ** 2
-        V = jax.hessian(var_fn)(point)
+        # reverse-over-reverse: the fused Pallas Gram has a custom_vjp
+        # only (no jvp), so jax.hessian's forward-over-reverse would raise
+        V = jax.jacrev(jax.grad(var_fn))(point)
         return [nabla_mu, V]
 
     # gradient of the posterior mean (parity: gauss_procc.py:446-459, autodiff)
     def mean_gradient_hessian(self, xtest, hessian=False):
         xtest = as_array(xtest).reshape(-1)
-        mu_fn = lambda pt: self.mean_std(pt[None, :])[0][0, 0]
+        mu_fn, _ = self._pointwise_posterior_fns()
         nabla = jax.grad(mu_fn)(xtest)
         if not hessian:
             return nabla
-        return [nabla, jax.hessian(mu_fn)(xtest)]
+        return [nabla, jax.jacrev(jax.grad(mu_fn))(xtest)]

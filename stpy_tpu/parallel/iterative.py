@@ -172,14 +172,23 @@ def lowrank_eigen_precond(B, noise):
     (n, r) QR + one (r, r) eigh."""
     Qn, R = jnp.linalg.qr(B)                    # (n, r), (r, r)
     lam, V = jnp.linalg.eigh(R @ R.T)           # eigenvalues of BᵀB
-    lam = jnp.maximum(lam, 0.0)
     U = Qn @ V                                  # orthonormal at any κ
+    return _eigenform_apply(U, lam, noise)
+
+
+def _eigenform_apply(U, lam, noise):
+    """Shared SPD eigenform apply M⁻¹v = (v − U diag(λ/(λ+σ²)) Uᵀv)/σ²
+    for an (approximately) orthonormal U and eigenvalue estimates lam.
+
+    SPD deflation cap: once σ²/λ drops below U's f32 orthonormality
+    error, the exact coefficient makes I − U·coef·Uᵀ indefinite and CG
+    breaks outright — cap the deflation at 1 − 256·eps so the apply
+    keeps a positive margin on hardware (bounds the preconditioned
+    condition number at ~256·eps·λmax/σ² instead of 1; measured-on-
+    hardware safety constant, r3 batch N — keep this the ONLY copy)."""
+    lam = jnp.maximum(lam, 0.0)
     s2 = noise * noise
-    # SPD deflation cap (see _rayleigh_compress_precond): once σ²/λ drops
-    # below U's f32 orthonormality error, the exact coefficient makes
-    # I − U·coef·Uᵀ indefinite and CG breaks — cap the deflation at
-    # 1 − 256·eps so the apply keeps a positive margin on hardware.
-    cmax = 1.0 - 256.0 * float(jnp.finfo(jnp.asarray(B).dtype).eps)
+    cmax = 1.0 - 256.0 * float(jnp.finfo(jnp.asarray(U).dtype).eps)
     coef = jnp.minimum(lam / (lam + s2), cmax)
 
     def M_inv(rhs):
@@ -237,32 +246,18 @@ def _rayleigh_compress_precond(Y, k_apply, noise):
     just in exact arithmetic (both measured necessary, r3 batch N):
       * a SECOND QR pass — one Householder pass leaves QᵀQ−I ~ 1.4e-5 at
         n=65k f32 (batch K), and "twice is enough" brings it to ~eps;
-      * a DEFLATION CAP coef ≤ 1 − 256·eps — whenever σ²/λ < the
+      * the DEFLATION CAP in `_eigenform_apply` — whenever σ²/λ < the
         orthonormality error of U, the exact coefficient puts the
         deflated direction BELOW the noise floor of I − U·coef·Uᵀ and
         the apply goes indefinite (top eigendirections of the
         preconditioned system measured at −0.2), which breaks CG
-        outright. The cap bounds the preconditioned condition number at
-        ~256·eps·λmax/σ² (≈ 30 for the 65k sum-kernel) instead of 1 —
-        a price of a few extra CG iterations for guaranteed SPD."""
-    s2 = noise * noise
+        outright."""
     Q, _ = jnp.linalg.qr(Y)
     Q, _ = jnp.linalg.qr(Q)
     Z = k_apply(Q)
     T = Q.T @ Z
     lam, V = jnp.linalg.eigh(0.5 * (T + T.T))
-    lam = jnp.maximum(lam, 0.0)
-    U = Q @ V
-    cmax = 1.0 - 256.0 * float(jnp.finfo(Q.dtype).eps)
-    coef = jnp.minimum(lam / (lam + s2), cmax)
-
-    def M_inv(rhs):
-        rhs2 = rhs if rhs.ndim == 2 else rhs[:, None]
-        t = U.T @ rhs2
-        out = ((rhs2 - U @ (coef[:, None] * t)) / s2).astype(rhs.dtype)
-        return out if rhs.ndim == 2 else out.reshape(rhs.shape)
-
-    return M_inv
+    return _eigenform_apply(Q @ V, lam, noise)
 
 
 def rayleigh_nystrom_precond(C, matmat, noise, *, block=128):
@@ -341,13 +336,12 @@ class IterativeGP:
     Cholesky no longer fits one chip."""
 
     def __init__(self, kernel_object, s=0.1, mesh=None, axis="tp",
-                 precond_block=2048, tol=1e-6, maxiter=500, lazy=False,
+                 tol=1e-6, maxiter=500, lazy=False,
                  chunk=2048, precond_rank=0):
         self.kernel_object = kernel_object
         self.s = s
         self.mesh = mesh
         self.axis = axis
-        self.precond_block = precond_block
         self.tol = tol
         self.maxiter = maxiter
         self.lazy = lazy
@@ -423,6 +417,33 @@ class IterativeGP:
                 M_inv = rayleigh_nystrom_precond(
                     C, self._lazy_matmat(x), self.s)
             return self._lazy_matvec_or_none(x), M_inv
+
+        if self.lazy and self.mesh is not None:
+            # sharded matrix-free matvec: each device runs the fused Gram
+            # kernel lazily on its (n/p, n) row tile — O(n/p + n) memory
+            # per device (vs O(n²/p) for the dense mesh path below).
+            # Covers a single isotropic/ARD fast atom; the full lazy
+            # kernel algebra is single-chip-only for now — raise instead
+            # of silently falling through to the dense tiles (the user
+            # chose lazy precisely because n²/p does not fit).
+            from stpy_tpu.ops.pallas_gram_matvec import (
+                make_lazy_matvec_sharded,
+            )
+            from stpy_tpu.parallel.lazy_kernel import atom_params, fast_atoms
+
+            atoms = fast_atoms(ko)
+            if atoms is None or len(atoms) != 1 or atoms[0].group is not None:
+                raise NotImplementedError(
+                    "lazy=True over a mesh supports a single SE/ARD/Matérn "
+                    "atom; for kernel sums/products either drop the mesh "
+                    "(full single-chip lazy algebra) or use lazy=False "
+                    "(dense O(n²/p) row tiles)"
+                )
+            g, k = atom_params(ko, atoms[0])
+            mv = make_lazy_matvec_sharded(
+                x, self.mesh, self.axis, family=atoms[0].family, gamma=g,
+                kappa=k, nu=atoms[0].nu or 1.5, noise=self.s)
+            return mv, None
 
         if self.mesh is None:
             K = ko.gram(x) + s2 * jnp.eye(n, dtype=x.dtype)
@@ -618,18 +639,17 @@ class IterativeGP:
         t = xtest.shape[0]
         method = method or ("exact" if t <= exact_threshold else "hutchinson")
 
+        M_inv = getattr(self, "_M_inv", None)
         if method == "exact":
             if self.lazy and self.mesh is None:
                 # block CG: 128 columns per fused multi-RHS Gram pass
-                from stpy_tpu.ops.pallas_gram_matvec import make_lazy_matmat
-
                 mm = self._lazy_matmat(self.x)
                 quads = []
                 B = K_star.T  # (n, t)
                 for c0 in range(0, t, 128):
                     blk = B[:, c0:c0 + 128]
                     sol, _ = cg_solve_block(
-                        mm, blk, M_inv=getattr(self, "_M_inv", None),
+                        mm, blk, M_inv=M_inv,
                         tol=self.tol, maxiter=self.maxiter,
                     )
                     quads.append(jnp.sum(blk * sol, axis=0))
@@ -637,7 +657,7 @@ class IterativeGP:
             else:
                 def col_solve(k_col):
                     sol, _, _ = cg_solve(
-                        self._matvec, k_col, tol=self.tol,
+                        self._matvec, k_col, M_inv=M_inv, tol=self.tol,
                         maxiter=self.maxiter,
                     )
                     return k_col @ sol
@@ -652,7 +672,8 @@ class IterativeGP:
             z = jax.random.rademacher(k, (t,)).astype(xtest.dtype)
             v = K_star.T @ z
             sol, _, _ = cg_solve(
-                self._matvec, v, tol=self.tol, maxiter=self.maxiter
+                self._matvec, v, M_inv=M_inv, tol=self.tol,
+                maxiter=self.maxiter
             )
             return z * (K_star @ sol)
 

@@ -353,3 +353,44 @@ def test_fit_predict_fused_matches_two_call(data1d):
         mu_c, sd_c = gp_b.mean_std(xt)
         assert np.array_equal(np.asarray(mu_a), np.asarray(mu_c)), kw
         assert gp_b.fit_status["cholesky_ok"] is True
+
+
+def test_sigma_fit_status_and_double_raise(data1d):
+    """Per-point Sigma fits must surface fit_status and honor
+    jitter_ladder=False; precision='double' must RAISE (the df pipeline
+    models isotropic s only — a silent fallthrough previously paired a
+    stale df alpha with the new factor)."""
+    x, y, xt = data1d
+    n = x.shape[0]
+    Sigma = 0.1 * jnp.eye(n)
+    gp = GaussianProcess(gamma=0.5, s=0.1, d=1, jitter_ladder=False)
+    gp.fit_gp(x, y, Sigma=Sigma)
+    assert gp.fit_status["cholesky_ok"] is True
+    assert gp.fit_status["n"] == n
+    mu, sd = gp.mean_std(xt)
+    assert np.all(np.isfinite(np.asarray(mu)))
+
+    gpd = GaussianProcess(gamma=0.5, s=0.1, d=1, precision="double")
+    import pytest
+    with pytest.raises(NotImplementedError):
+        gpd.fit_gp(x, y, Sigma=Sigma)
+
+
+def test_gradient_helpers_double_mode(data1d):
+    """gradient_mean_var / mean_gradient_hessian must work in double mode
+    (they now differentiate a stored-factor closed form, not the df
+    Pallas predict, which has no VJP on TPU) and agree with the
+    single-mode gradients."""
+    x, y, xt = data1d
+    pt = np.asarray(xt)[0]
+    gp_s = GaussianProcess(gamma=0.5, s=0.1, d=1)
+    gp_s.fit_gp(x, y)
+    g_s = np.asarray(gp_s.gradient_mean_var(pt, hessian=False))
+    gp_d = GaussianProcess(gamma=0.5, s=0.1, d=1, precision="double")
+    gp_d.fit_gp(x, y)
+    g_d = np.asarray(gp_d.gradient_mean_var(pt, hessian=False))
+    assert np.allclose(g_s, g_d, rtol=1e-4, atol=1e-7)
+    nab, H = gp_d.gradient_mean_var(pt, hessian=True)
+    assert np.all(np.isfinite(np.asarray(H)))
+    g2 = np.asarray(gp_d.mean_gradient_hessian(pt))
+    assert np.allclose(g2, g_d, rtol=1e-6)
