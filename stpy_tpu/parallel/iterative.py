@@ -422,27 +422,28 @@ class IterativeGP:
             # sharded matrix-free matvec: each device runs the fused Gram
             # kernel lazily on its (n/p, n) row tile — O(n/p + n) memory
             # per device (vs O(n²/p) for the dense mesh path below).
-            # Covers a single isotropic/ARD fast atom; the full lazy
-            # kernel algebra is single-chip-only for now — raise instead
-            # of silently falling through to the dense tiles (the user
-            # chose lazy precisely because n²/p does not fit).
-            from stpy_tpu.ops.pallas_gram_matvec import (
-                make_lazy_matvec_sharded,
+            # Fast tier: SUMS of fused atoms (SE/ARD/Matérn, optional
+            # coordinate groups) — one fused pass per atom per device.
+            # Anything else (products, additive groups, laplace, …) takes
+            # the general row-chunked tier over the same mesh:
+            # O(chunk·n)/device, never the dense n²/p tiles the user
+            # chose lazy to avoid. Parity: stpy/kernels.py:76-94,136-159
+            # at mesh scale (r3).
+            from stpy_tpu.parallel.lazy_kernel import (
+                atom_params, fast_atoms, make_chunked_matvec_sharded,
+                make_sum_matvec_sharded,
             )
-            from stpy_tpu.parallel.lazy_kernel import atom_params, fast_atoms
 
             atoms = fast_atoms(ko)
-            if atoms is None or len(atoms) != 1 or atoms[0].group is not None:
-                raise NotImplementedError(
-                    "lazy=True over a mesh supports a single SE/ARD/Matérn "
-                    "atom; for kernel sums/products either drop the mesh "
-                    "(full single-chip lazy algebra) or use lazy=False "
-                    "(dense O(n²/p) row tiles)"
-                )
-            g, k = atom_params(ko, atoms[0])
-            mv = make_lazy_matvec_sharded(
-                x, self.mesh, self.axis, family=atoms[0].family, gamma=g,
-                kappa=k, nu=atoms[0].nu or 1.5, noise=self.s)
+            if atoms is not None:
+                gk = [atom_params(ko, a) for a in atoms]
+                mv = make_sum_matvec_sharded(
+                    x, self.mesh, self.axis, atoms,
+                    [g for g, _ in gk], [k for _, k in gk], noise=self.s)
+            else:
+                mv = make_chunked_matvec_sharded(
+                    ko, x, self.mesh, self.axis, noise=self.s,
+                    chunk=self.chunk)
             return mv, None
 
         if self.mesh is None:

@@ -119,6 +119,88 @@ def make_sum_matmat(x, atoms, gammas, kappas, *, noise=0.0):
     return matmat
 
 
+# --- sharded variants: the same two tiers over a device mesh -----------------
+
+def make_sum_matvec_sharded(x, mesh, axis, atoms, gammas, kappas, *,
+                            noise=0.0):
+    """Row-sharded (Σ_a κ_a K_a + σ²I) v over a mesh: each device runs one
+    fused Gram·v pass PER ATOM on its (n/p, n) row tile (v replicated via
+    the shard_map in_spec) — per-device memory stays O(n/p + n) for the
+    full fast-tier kernel algebra, incl. coordinate-`group` atoms.
+    Generalizes `ops.pallas_gram_matvec.make_lazy_matvec_sharded` from one
+    atom to sums (VERDICT r2 item 2 at mesh scale)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x_rep = jax.device_put(x, NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    s2 = noise * noise
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(), P()), out_specs=P(axis),
+        check_vma=False,
+    )
+    def local_rows(x_local, x_all, v):
+        v = v.reshape(-1)
+        i = jax.lax.axis_index(axis)
+        nb = x_local.shape[0]
+        v_local = jax.lax.dynamic_slice(
+            v, (i.astype(jnp.int32) * nb,), (nb,)
+        )
+        out = s2 * v_local
+        for a, g, k in zip(atoms, gammas, kappas):
+            out = out + gram_matvec(
+                a.slice_x(x_local), a.slice_x(x_all), v, family=a.family,
+                gamma=g, kappa=k, nu=a.nu,
+            )
+        return out
+
+    def matvec(v):
+        return local_rows(xs, x_rep, v)
+
+    return matvec
+
+
+def make_chunked_matvec_sharded(kernel_object, x, mesh, axis,
+                                params_dict=None, *, noise=0.0, chunk=2048):
+    """Row-sharded general-tier matvec: ANY kernel the library can build,
+    each device materializing only one (chunk, n) tile of its own row
+    block at a time — per-device memory O(chunk·n), never O(n²/p). The
+    mesh companion of `make_chunked_matvec` (products, additive groups,
+    laplace, … — stpy/kernels.py:76-94,136-159 at mesh scale)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pd = params_dict or kernel_object.params_dict
+    x_rep = jax.device_put(x, NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    s2 = noise * noise
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(), P()), out_specs=P(axis),
+        check_vma=False,
+    )
+    def local_rows(x_local, x_all, v):
+        v = v.reshape(-1)
+        xb, nloc = _pad_rows(x_local, min(chunk, x_local.shape[0]))
+
+        @jax.checkpoint
+        def body(xc):
+            return kernel_object.eval_params(pd, xc, x_all) @ v
+
+        out = jax.lax.map(body, xb).reshape(-1)[:nloc]
+        i = jax.lax.axis_index(axis)
+        v_local = jax.lax.dynamic_slice(
+            v, (i.astype(jnp.int32) * nloc,), (nloc,)
+        )
+        return out + s2 * v_local
+
+    def matvec(v):
+        return local_rows(xs, x_rep, v)
+
+    return matvec
+
+
 # --- general tier: any KernelFunction, row-chunked ---------------------------
 
 def _pad_rows(x, chunk):

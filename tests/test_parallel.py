@@ -467,33 +467,32 @@ def test_iterative_gp_optimize_params_lazy():
 
 def test_iterative_gp_lazy_over_mesh(mesh8):
     """lazy=True with a mesh routes to the SHARDED matrix-free matvec
-    (O(n/p + n) per device) for a single fast atom — previously it fell
-    through silently to the dense O(n^2/p) tiles — and RAISES for kernel
-    algebra the sharded tier does not cover."""
-    import pytest
-
+    (O(n/p + n) per device): single fast atoms, SUMS of fast atoms (one
+    fused pass per atom per device), and — for kernel algebra outside the
+    fast tier (products, …) — the row-chunked general matvec over the
+    same mesh (O(chunk·n)/device). Never the dense O(n²/p) tiles."""
     from stpy_tpu.models import GaussianProcess
     from stpy_tpu.parallel import IterativeGP
 
     rng = np.random.default_rng(3)
     x = rng.uniform(-1, 1, (64, 2))
     y = np.sin(3 * x[:, :1]) + 0.05 * rng.standard_normal((64, 1))
-    k = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=2)
-    gp = GaussianProcess(kernel=k, s=0.1)
-    gp.fit_gp(x, y)
+    kse = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=2)
+    kmat = KernelFunction(kernel_name="matern", gamma=0.8, nu=1.5, d=2)
+    cases = [
+        ("atom", kse),
+        ("sum", kse + kmat),                       # fast tier, 2 passes
+        ("product", kse * kmat),                   # general chunked tier
+    ]
     xt = rng.uniform(-1, 1, (16, 2))
-    mu_ref = gp.mean_std(xt)[0]
-
-    with mesh8:
-        igp = IterativeGP(k, s=0.1, mesh=mesh8, axis="tp", lazy=True,
-                          tol=1e-10)
-        igp.fit_gp(x, y)
-        mu = igp.mean(xt)
-    assert float(igp.cg_residual) < 1e-8
-    assert np.allclose(np.asarray(mu), np.asarray(mu_ref), atol=1e-6)
-
-    ksum = k + KernelFunction(kernel_name="matern", gamma=0.8, nu=1.5, d=2)
-    with mesh8:
-        bad = IterativeGP(ksum, s=0.1, mesh=mesh8, lazy=True)
-        with pytest.raises(NotImplementedError):
-            bad.fit_gp(x, y)
+    for name, k in cases:
+        gp = GaussianProcess(kernel=k, s=0.1)
+        gp.fit_gp(x, y)
+        mu_ref = gp.mean_std(xt)[0]
+        with mesh8:
+            igp = IterativeGP(k, s=0.1, mesh=mesh8, axis="tp", lazy=True,
+                              tol=1e-10, chunk=16)
+            igp.fit_gp(x, y)
+            mu = igp.mean(xt)
+        assert float(igp.cg_residual) < 1e-8, name
+        assert np.allclose(np.asarray(mu), np.asarray(mu_ref), atol=1e-6), name
