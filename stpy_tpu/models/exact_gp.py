@@ -45,7 +45,7 @@ class GaussianProcess(Estimator, RandomProcess):
         bounds=None, nu=1.5, kernel=None, d=1, power=2, lam=1.0,
         loss="squared", huber_delta=1.35, hyper="classical", B=1.0,
         svr_eps=0.1, var_precision=None, precision="single", var_refine=0,
-        jitter_ladder=True, df_refine_steps=2,
+        jitter_ladder=True, df_refine_steps=2, qform_precision=None,
     ):
         # precision of the predictive-variance triangular-solve GEMMs:
         # None -> tri_solve_blocked's HIGH default (bf16x3; measured at
@@ -81,6 +81,11 @@ class GaussianProcess(Estimator, RandomProcess):
         # staying under the 0.7 s fit+predict budget. Raise for extreme
         # condition numbers (κ·u_solve approaching 1).
         self._df_refine_steps = max(0, int(df_refine_steps))
+        # var_refine qform main-product precision: None -> HIGHEST (bf16x6,
+        # f32-faithful); "bf16x3" emulates XLA's HIGH 3-pass scheme inside
+        # the Pallas kernel (~3x the HIGHEST MXU rate) — accuracy-gated in
+        # benchmarks before flipping any default (r3 batch Y).
+        self._qform_precision = qform_precision
         # jitter_ladder=False swaps safe_cholesky's escalating retry loop
         # for a single fixed-jitter factorization (chol_jittered). The
         # ladder's while_loop keeps the pre-jitter Gram live across
@@ -282,7 +287,10 @@ class GaussianProcess(Estimator, RandomProcess):
                 L, Kh.T,
                 precision=(self._var_precision
                            or jax.lax.Precision.HIGH))
-            qh, ql = qform_refined(Th, Tl, W0, Kh.T, Kl.T, s)
+            qh, ql = qform_refined(
+                Th, Tl, W0, Kh.T, Kl.T, s,
+                main_precision=(self._qform_precision
+                                or jax.lax.Precision.HIGHEST))
             var = jnp.maximum((kss - qh) - ql, 1e-30)
             return mu, jnp.sqrt(var)[:, None]
 

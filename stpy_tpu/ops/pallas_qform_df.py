@@ -73,13 +73,33 @@ def _qform_kernel(s2_ref, th_ref, tl_ref, w0k_ref, w0a_ref, bh_ref, bl_ref,
         acc_h[:] = jnp.zeros_like(acc_h)
         acc_l[:] = jnp.zeros_like(acc_l)
 
-    # A·W0 k-step: HIGHEST (f32-faithful) hi product TwoSum-folded into the
-    # (hi, lo) accumulator; bf16 lo-Gram pass straight into lo.
+    # A·W0 k-step: hi product TwoSum-folded into the (hi, lo) accumulator;
+    # bf16 lo-Gram pass straight into lo.
     dn = (((1,), (0,)), ((), ()))
     w0k = w0k_ref[:]
-    p = jax.lax.dot_general(th_ref[:], w0k, dn,
-                            preferred_element_type=jnp.float32,
-                            precision=main_precision)
+    if main_precision == "bf16x3":
+        # HIGH (bf16x3)-equivalent main product: Mosaic's dot_general only
+        # accepts DEFAULT/HIGHEST, so emulate XLA's 3-pass scheme with an
+        # explicit Veltkamp-style bf16 split of both tiles — a0·b0 +
+        # a0·b1 + a1·b0, each a native bf16 MXU pass with f32
+        # accumulation (~3x the HIGHEST rate; drops the a1·b1 term,
+        # per-element error ~2⁻¹⁷·|Th|·|W0| vs HIGHEST's ~2⁻³²).
+        th = th_ref[:]
+        a0 = th.astype(jnp.bfloat16)
+        a1 = (th - a0.astype(jnp.float32)).astype(jnp.bfloat16)
+        b0 = w0k.astype(jnp.bfloat16)
+        b1 = (w0k - b0.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def bdot(a, b):
+            return jax.lax.dot_general(
+                a, b, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        p = bdot(a0, b0) + (bdot(a0, b1) + bdot(a1, b0))
+    else:
+        p = jax.lax.dot_general(th_ref[:], w0k, dn,
+                                preferred_element_type=jnp.float32,
+                                precision=main_precision)
     corr = jax.lax.dot_general(tl_ref[:].astype(jnp.bfloat16),
                                w0k.astype(jnp.bfloat16), dn,
                                preferred_element_type=jnp.float32,
