@@ -69,15 +69,21 @@ def main():
         times.append(time.perf_counter() - t0)
     wall = float(np.median(times))
 
-    # baseline: the reference publishes no numbers (BASELINE.md); the target
-    # set for this rebuild is < 1 s/chip, so report vs that 1 s budget.
+    # baseline: the reference publishes no numbers (BASELINE.md), so it was
+    # MEASURED on this host (benchmarks/exp_reference_wall.py): the actual
+    # /root/reference stpy GaussianProcess (torch f64, its faster no-grad
+    # LU path) on this exact workload = 605.1 s fit + 494.2 s mean_std =
+    # 1099.28 s total. Caveat recorded in RESULTS.md: this host exposes ONE
+    # CPU core to torch; on a typical 32-core server the reference would be
+    # roughly 30-60x faster — still two orders of magnitude above one chip.
+    REF_WALL_S = 1099.28
     print(
         json.dumps(
             {
                 "metric": "exact_gp_fit_predict_n16k_wall_time",
                 "value": round(wall, 4),
                 "unit": "s",
-                "vs_baseline": round(1.0 / wall, 2),
+                "vs_baseline": round(REF_WALL_S / wall, 1),
             }
         )
     )

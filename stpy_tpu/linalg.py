@@ -96,6 +96,61 @@ def safe_cholesky(K: jnp.ndarray, jitter: float | None = None,
     return CholResult(L=L, jitter=j * scale, ok=ok)
 
 
+def safe_cholesky_rebuild(build_k, scale, jitter: float | None = None,
+                          max_tries: int = 6, fast: bool = False,
+                          dtype=None) -> CholResult:
+    """Jitter-ladder Cholesky that REBUILDS the jittered matrix inside each
+    retry instead of carrying the pre-jitter Gram across the while_loop
+    (recompute-over-residency).
+
+    `safe_cholesky(K)` closes its retry body over K, so XLA must keep the
+    (n, n) Gram live for the whole ladder alongside the factor and the
+    attempt workspace — ~3n² peak, which is what pushes a robust n=32k f32
+    fit past one 16 GB v5e (benchmarks/exp_32k.py). Here the body closes
+    over the (n, d) inputs via `build_k` and re-materializes K + jI per
+    attempt, so peak residency is the single attempt's ~2n² — same as the
+    fixed-jitter path — at the price of one extra Gram build per RETRY
+    (retries are the rare case; the no-retry fast path costs exactly one
+    build, like safe_cholesky).
+
+    Args:
+      build_k: `build_k(j) -> K + j*I` for an ABSOLUTE jitter scalar j —
+        must construct the full jittered matrix from raw inputs (kernel
+        Gram + noise + j on the diagonal), not index a captured K.
+      scale: mean diagonal of K (computable in O(n) via `kernel.diag`,
+        no Gram needed) — the ladder escalates j = base·scale·10^t like
+        `safe_cholesky`.
+      jitter: base relative jitter (default `default_jitter(dtype)`).
+      dtype: dtype for the jitter scalar (default: infer from a zero-cost
+        probe of `scale`).
+    """
+    scale = jnp.asarray(scale)
+    dt = dtype if dtype is not None else scale.dtype
+    base = default_jitter(jnp.zeros((), dt).dtype) if jitter is None else jitter
+    scale = jnp.where(scale <= 0, 1.0, scale).astype(dt)
+
+    def attempt(j):
+        L = chol_dense(build_k(j * scale), fast=fast)
+        ok = jnp.all(jnp.isfinite(L))
+        return L, ok
+
+    def cond(state):
+        _, ok, j, t = state
+        return jnp.logical_and(~ok, t < max_tries)
+
+    def body(state):
+        _, _, j, t = state
+        j = j * 10.0
+        L, ok = attempt(j)
+        return L, ok, j, t + 1
+
+    L0, ok0 = attempt(jnp.asarray(base, dt))
+    L, ok, j, _ = jax.lax.while_loop(
+        cond, body, (L0, ok0, jnp.asarray(base, dt), jnp.asarray(0))
+    )
+    return CholResult(L=L, jitter=j * scale, ok=ok)
+
+
 def cho_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve (L L^T) x = b given lower Cholesky factor L."""
     y = jax.scipy.linalg.solve_triangular(L, b, lower=True)

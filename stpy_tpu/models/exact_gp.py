@@ -30,6 +30,7 @@ from stpy_tpu.linalg import (
     chol_jittered,
     logdet_from_chol,
     safe_cholesky,
+    safe_cholesky_rebuild,
     tri_solve,
     tri_solve_blocked,
 )
@@ -45,7 +46,7 @@ class GaussianProcess(Estimator, RandomProcess):
         bounds=None, nu=1.5, kernel=None, d=1, power=2, lam=1.0,
         loss="squared", huber_delta=1.35, hyper="classical", B=1.0,
         svr_eps=0.1, var_precision=None, precision="single", var_refine=0,
-        jitter_ladder=True, df_refine_steps=2, qform_precision=None,
+        jitter_ladder=True, df_refine_steps=1, qform_precision=None,
     ):
         # precision of the predictive-variance triangular-solve GEMMs:
         # None -> tri_solve_blocked's HIGH default (bf16x3; measured at
@@ -75,16 +76,18 @@ class GaussianProcess(Estimator, RandomProcess):
         self._var_refine = int(var_refine)
         # double-mode iterative-refinement step count. Each step is one
         # exact df residual GEMV + one Cholesky substitution (~0.08 s at
-        # n=16k); batch M measured ir=1 == ir=3 to every printed digit on
-        # the 16k SE ladder (one exact-residual step lands on the df
-        # representation floor), so 2 keeps one full safety step while
-        # staying under the 0.7 s fit+predict budget. Raise for extreme
-        # condition numbers (κ·u_solve approaching 1).
+        # n=16k); batches M and Y measured ir=1 == ir=2 == ir=3 to every
+        # printed digit on all three 16k families (one exact-residual step
+        # lands on the df representation floor), so the default is 1.
+        # Raise for extreme condition numbers (κ·u_solve approaching 1).
         self._df_refine_steps = max(0, int(df_refine_steps))
         # var_refine qform main-product precision: None -> HIGHEST (bf16x6,
         # f32-faithful); "bf16x3" emulates XLA's HIGH 3-pass scheme inside
-        # the Pallas kernel (~3x the HIGHEST MXU rate) — accuracy-gated in
-        # benchmarks before flipping any default (r3 batch Y).
+        # the Pallas kernel (~3x the HIGHEST MXU rate) — measured on the
+        # chip (r3 batch Y) and REJECTED as default: the dropped a1·b1
+        # term's first-order ~2⁻¹⁷ noise floors the refined variance at
+        # 4e-5–2.3e-4 max (vs HIGHEST's 2.3e-6–7.5e-6) for a 0.75 → 0.62 s
+        # fused fit+predict. Opt-in for MAP-grade posteriors only.
         self._qform_precision = qform_precision
         # jitter_ladder=False swaps safe_cholesky's escalating retry loop
         # for a single fixed-jitter factorization (chol_jittered). The
@@ -93,7 +96,18 @@ class GaussianProcess(Estimator, RandomProcess):
         # (benchmarks/exp_32k.py: fixed-jitter peak ≈ 12 GB → 613 ms fit,
         # 920 ms fit + 16k predict). Trade-off: no automatic escalation on
         # near-singular Grams — fit_status reports ok=False instead.
-        self._jitter_ladder = bool(jitter_ladder)
+        # jitter_ladder="recompute" keeps the escalation but REBUILDS the
+        # jittered Gram inside each retry (safe_cholesky_rebuild), so peak
+        # residency matches the fixed-jitter path (~2n²) while retaining
+        # automatic escalation — robust 32k single-chip fits. Retries cost
+        # one extra Gram build each (~3 ms Pallas at n=16k; retries are
+        # the rare case).
+        if jitter_ladder not in (True, False, "recompute"):
+            raise ValueError(
+                "jitter_ladder must be True, False, or 'recompute', "
+                f"got {jitter_ladder!r}"
+            )
+        self._jitter_ladder = jitter_ladder
         self.s = s
         self.d = d
         self.x = None
@@ -136,69 +150,21 @@ class GaussianProcess(Estimator, RandomProcess):
 
     # -- fitting ---------------------------------------------------------------
     def _df_atom_desc(self):
-        """Static per-atom (index, family, nu, gamma_key, group, op) plan
-        for the double-float Gram. Raises for atoms outside the df
-        families (SE/ARD/Matérn ν ∈ {½,3/2,5/2}/laplace, '+'/'*' algebra)
-        — r2 limited this to a single SE/ARD kernel; r3 covers the full
-        algebra of df atoms (VERDICT r2 item 4, parity:
-        gauss_procc.py:152 — the reference is f64 for every kernel)."""
-        ko = self.kernel_object
-        full = list(range(ko.d))
-        desc = []
-        for i, atom in enumerate(ko._atoms):
-            if atom.static.get("groups") is not None:
-                raise NotImplementedError(
-                    "precision='double' does not cover additive-over-groups "
-                    f"atoms (got {atom.name})"
-                )
-            group = atom.static.get("group")
-            if group is not None and list(group) == full:
-                group = None
-            nu = float(atom.static.get("nu", 1.5))
-            name = atom.name
-            if name == "squared_exponential":
-                fam, gkey, nu = "se", "gamma", 1.0
-            elif name == "ard":
-                fam, gkey, nu = "se", "ard_gamma", 1.0
-            elif name == "matern" and nu in (0.5, 1.5, 2.5):
-                fam, gkey = "matern", "gamma"
-            elif name == "ard_matern" and nu in (0.5, 1.5, 2.5):
-                fam, gkey = "matern", "ard_gamma"
-            elif name == "laplace":
-                fam, gkey, nu = "matern", "gamma", 0.5
-            else:
-                raise NotImplementedError(
-                    "precision='double' supports SE/ARD/Matérn(½,3/2,5/2)/"
-                    f"laplace atoms and their +/* algebra (got {name})"
-                )
-            desc.append((i, fam, nu, gkey,
-                         None if group is None else tuple(group),
-                         ko.operations[i]))
-        return desc
+        """Static per-atom df plan — shared with the matrix-free double
+        tier; see kernels/df_plan.py (r2 limited this to a single SE/ARD
+        kernel; r3 covers the full algebra of df atoms — VERDICT r2
+        item 4, parity: gauss_procc.py:152, f64 for every kernel)."""
+        from stpy_tpu.kernels.df_plan import df_atom_desc
+
+        return df_atom_desc(self.kernel_object)
 
     def _df_gram(self, params_dict, a, b, desc):
-        """(hi, lo) Gram of the (possibly composite) kernel: per-atom df
-        Pallas Grams folded with barrier-guarded df add/mul."""
-        from stpy_tpu.ops.pallas_gram_df import _df_add, _df_mul, gram_df
+        """(hi, lo) Gram of the (possibly composite) kernel (shared
+        helper: kernels/df_plan.py)."""
+        from stpy_tpu.kernels.df_plan import df_gram_from_desc
 
-        outh = outl = None
-        for (i, fam, nu, gkey, group, op) in desc:
-            p = {**self.kernel_object.params_dict[str(i)],
-                 **params_dict.get(str(i), {})}
-            gamma = p[gkey]
-            kappa = p.get("kappa", 1.0)
-            aa = a if group is None else a[:, jnp.asarray(group)]
-            bb = b if group is None else b[:, jnp.asarray(group)]
-            if gkey == "ard_gamma" and group is not None:
-                gamma = jnp.asarray(gamma).reshape(-1)[jnp.asarray(group)]
-            Kh, Kl = gram_df(aa, bb, gamma, kappa, family=fam, nu=nu)
-            if op == "+":
-                outh, outl = _df_add(outh, outl, Kh, Kl)
-            elif op == "*":
-                outh, outl = _df_mul(outh, outl, Kh, Kl)
-            else:
-                outh, outl = Kh, Kl
-        return outh, outl
+        return df_gram_from_desc(self.kernel_object, params_dict, a, b,
+                                 desc)
 
     def _build_df_jits(self):
         HIP = jax.lax.Precision.HIGHEST
@@ -210,11 +176,22 @@ class GaussianProcess(Estimator, RandomProcess):
 
             n = x.shape[0]
             Kh, Kl = self._df_gram(params_dict, x, x, desc)
-            A = Kh + (s * s) * jnp.eye(n, dtype=Kh.dtype)
-            if self._jitter_ladder:
+            if self._jitter_ladder == "recompute":
+                # Kh stays live for refinement regardless; rebuilding
+                # A = Kh + (s²+j)I per retry saves carrying a second n²
+                # buffer across the ladder's while_loop
+                scale = jnp.mean(jnp.diagonal(Kh)) + s * s
+                res = safe_cholesky_rebuild(
+                    lambda j: Kh + (s * s + j) * jnp.eye(n, dtype=Kh.dtype),
+                    scale,
+                )
+                L_, ok_, jit_ = res.L, res.ok, res.jitter
+            elif self._jitter_ladder:
+                A = Kh + (s * s) * jnp.eye(n, dtype=Kh.dtype)
                 res = safe_cholesky(A)
                 L_, ok_, jit_ = res.L, res.ok, res.jitter
             else:
+                A = Kh + (s * s) * jnp.eye(n, dtype=Kh.dtype)
                 # honor jitter_ladder=False here too (r2 ADVICE): the
                 # ladder's live pre-jitter Gram is what OOMs 32k fits
                 L_ = chol_jittered(A)
@@ -326,6 +303,21 @@ class GaussianProcess(Estimator, RandomProcess):
 
         def fit(x, y, params_dict, s):
             n = x.shape[0]
+            if self._jitter_ladder == "recompute":
+                # recompute-over-residency ladder: the retry body closes
+                # over (x, params) and re-materializes the jittered Gram,
+                # so the pre-jitter K is never carried across the
+                # while_loop (the ~3n² residency that OOMs laddered 32k
+                # fits on one 16 GB chip)
+                def build(j):
+                    K = kernel.eval_params(params_dict, x, x)
+                    return K + (s * s + j) * jnp.eye(n, dtype=K.dtype)
+
+                scale = jnp.mean(kernel.diag(x, params_dict)) + s * s
+                res = safe_cholesky_rebuild(build, scale)
+                L, ok, jitter = res.L, res.ok, res.jitter
+                alpha = cho_solve(L, y)
+                return L, alpha, ok, jitter
             K = kernel.eval_params(params_dict, x, x)
             # no (K+K.T)/2 symmetrization: Cholesky reads only the lower
             # triangle and the fused Gram is symmetric by construction —
@@ -384,6 +376,14 @@ class GaussianProcess(Estimator, RandomProcess):
         y = as_array(y).reshape(-1, 1)
         self.n, self.d = x.shape
         self.x, self.y = x, y
+        # release the previous fit's factors BEFORE computing the new ones:
+        # holding the old (n, n) L across a refit adds a full n² to the
+        # peak (measured: the 32k recompute-ladder refit OOMs a 16 GB chip
+        # with the stale factor live, fits without it — r3 batch Z)
+        self.L = self.A = None
+        self._A_df = None
+        self._df_train = None
+        self.fitted = False
         if self._fit_fn is None:
             self._build_jits()
         if Sigma is None:
@@ -468,6 +468,11 @@ class GaussianProcess(Estimator, RandomProcess):
             return self.mean_std(xtest)
         self.n, self.d = x.shape
         self.x, self.y = x, y
+        # release stale factors before the fused refit (see fit_gp)
+        self.L = self.A = None
+        self._A_df = None
+        self._df_train = None
+        self.fitted = False
         if self._fit_fn is None:
             self._build_jits()
         out, (mu, sd) = self._fit_predict_fn(

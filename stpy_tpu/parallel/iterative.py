@@ -337,7 +337,8 @@ class IterativeGP:
 
     def __init__(self, kernel_object, s=0.1, mesh=None, axis="tp",
                  tol=1e-6, maxiter=500, lazy=False,
-                 chunk=2048, precond_rank=0):
+                 chunk=2048, precond_rank=0, precision="single",
+                 df_refine_steps=2, df_chunk=4096):
         self.kernel_object = kernel_object
         self.s = s
         self.mesh = mesh
@@ -352,6 +353,24 @@ class IterativeGP:
         # n=65k/s=0.2 the unpreconditioned CG stalls at 4.7e-2 residual in
         # 400 iterations (exp_r3_batch_a a3).
         self.precond_rank = int(precond_rank)
+        # precision="double": extend the dense tier's double-float story
+        # beyond HBM — after the f32 PCG solve, run iterative refinement
+        # with EXACT df residuals computed by a row-chunked (hi, lo)
+        # Pallas Gram + exact df GEMV (no stored Gram, O(df_chunk·n)
+        # transient), carry alpha as a df pair, and evaluate the posterior
+        # MEAN with a chunked exact df cross-GEMV. Converges at rate =
+        # the inner CG's relative error (`tol`), so 1-2 steps land on the
+        # df floor. Variance stays f32/CG-grade (the dense tier's
+        # var_refine needs a factorization). df kernel families only
+        # (kernels/df_plan.py); lazy single-chip path (mesh=None).
+        # Parity: gauss_procc.py:152 — f64 posterior for every kernel.
+        if precision not in ("single", "double"):
+            raise ValueError(
+                f"precision must be single|double, got {precision}")
+        self.precision = precision
+        self.df_refine_steps = max(0, int(df_refine_steps))
+        self.df_chunk = int(df_chunk)
+        self._A_df = None
         self.fitted = False
 
     def _lazy_matvec_or_none(self, x):
@@ -392,6 +411,38 @@ class IterativeGP:
         return make_sum_matmat(
             x, atoms, [g for g, _ in gk], [k for _, k in gk], noise=self.s
         )
+
+    # -- double-float tier helpers --------------------------------------
+
+    def _df_desc(self):
+        from stpy_tpu.kernels.df_plan import df_atom_desc
+
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "precision='double' runs on the single-chip path "
+                "(mesh=None); the mesh tiers are f32"
+            )
+        if getattr(self, "_df_desc_cache", None) is None:
+            self._df_desc_cache = df_atom_desc(self.kernel_object)
+        return self._df_desc_cache
+
+    def _df_cross_gemv(self, a, b, vh, vl, desc):
+        """EXACT df K(a, b)·(vh + vl), row-chunked: per chunk one (hi, lo)
+        Pallas Gram + one exact df GEMV — the (df_chunk, n) pair is a
+        transient, never a stored Gram. Returns (hi, lo) of shape
+        (len(a),)."""
+        from stpy_tpu.kernels.df_plan import df_gram_from_desc
+        from stpy_tpu.ops.compensated import gemv_df
+
+        ko = self.kernel_object
+        outs_h, outs_l = [], []
+        c = self.df_chunk
+        for r0 in range(0, a.shape[0], c):
+            Kh, Kl = df_gram_from_desc(ko, {}, a[r0:r0 + c], b, desc)
+            Ph, Pl = gemv_df(Kh, Kl, vh, vl=vl)
+            outs_h.append(Ph)
+            outs_l.append(Pl)
+        return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
 
     def _matvec_factory(self, x):
         """Row-sharded (K + σ²I) v matvec. With a mesh: shard_map over row
@@ -620,11 +671,55 @@ class IterativeGP:
         self.A = alpha.reshape(-1, 1)
         self.cg_iterations = int(it)
         self.cg_residual = float(res)
+        if self.precision == "double":
+            # iterative refinement with EXACT df residuals: converges at
+            # rate ~ the inner PCG's relative error, so `df_refine_steps`
+            # steps push the alpha error to (cg tol)^(steps+1) toward the
+            # df representation floor — the dense tier's ≤1e-7 posterior-
+            # mean story (models/exact_gp.py) extended beyond HBM.
+            from stpy_tpu.ops.pallas_gram_df import _two_prod, _two_sum
+
+            desc = self._df_desc()
+            s = jnp.asarray(self.s, x.dtype)
+            a_h = self.A
+            a_l = jnp.zeros_like(a_h)
+            s2h, s2e = _two_prod(s, s)
+            yn = float(jnp.linalg.norm(y))
+            # exact relative residual ‖y − Aα‖/‖y‖ BEFORE each correction —
+            # the accuracy evidence at scales where no f64 host reference
+            # is computable: ‖α − α*‖ ≤ ‖r‖/σ², so the step-k entry bounds
+            # the post-step-(k−1) alpha error
+            self.df_residuals = []
+            for _ in range(self.df_refine_steps):
+                Ph, Pl = self._df_cross_gemv(x, x, a_h, a_l, desc)
+                qh, qe = _two_prod(s2h, a_h)
+                qe = qe + (s2e * a_h + s2h * a_l)
+                rh, re = _two_sum(y, -Ph[:, None])
+                rh, re2 = _two_sum(rh, -qh)
+                r = rh + ((re + re2) - Pl[:, None] - qe)
+                self.df_residuals.append(float(jnp.linalg.norm(r)) / yn)
+                d, _, _ = cg_solve(matvec, r.ravel(), M_inv=M_inv,
+                                   tol=self.tol, maxiter=self.maxiter)
+                nh, e = _two_sum(a_h, d.reshape(-1, 1))
+                a_h, a_l = nh, a_l + e
+            self._A_df = jnp.concatenate([a_h, a_l], axis=1)
+            self.A = a_h
+        else:
+            self._A_df = None
         self.fitted = True
         return None
 
     def mean(self, xtest):
         xtest = as_array(xtest)
+        if self._A_df is not None:
+            # exact df cross-GEMV on the df alpha pair: a single-f32 mean
+            # GEMV would cap the mean at eps·‖K*‖‖α‖/‖μ‖ regardless of the
+            # refined alpha's accuracy (same reasoning as the dense tier)
+            Mh, Ml = self._df_cross_gemv(
+                xtest, self.x, self._A_df[:, :1], self._A_df[:, 1:],
+                self._df_desc(),
+            )
+            return (Mh + Ml)[:, None]
         K_star = self.kernel_object.cross(xtest, self.x)
         return K_star @ self.A
 

@@ -146,6 +146,35 @@ def test_qform_pallas_kernel_matches_f64():
     assert np.max(np.abs(got - q_true) / q_true) < 2e-5
 
 
+def test_qform_bf16x3_high_grade():
+    """qform_precision='bf16x3' (emulated HIGH main product: explicit bf16
+    splits, 3 DEFAULT MXU passes) must stay HIGH-grade correct. It was
+    REJECTED as the default on accuracy (TPU batch Y: variance max
+    8.7e-5–2.3e-4 vs HIGHEST's 2.3e-6–7.5e-6 at n=16k — the dropped a1·b1
+    term's ~2⁻¹⁷ first-order noise overwhelms the second-order refinement
+    identity), and stays an opt-in for MAP-grade posteriors at ~3x the
+    HIGHEST MXU rate."""
+    from stpy_tpu.ops import pallas_qform_df as mod
+
+    K, B, A, q_true = _qform_setup(n=256, t=128)
+    s = jnp.asarray(0.35)
+    rng = np.random.default_rng(6)
+    W0 = np.linalg.solve(A, B) + 1e-4 * rng.standard_normal(B.shape)
+
+    Kf = jnp.asarray(K, jnp.float32)
+    Bf = jnp.asarray(B, jnp.float32)
+    Wf = jnp.asarray(W0, jnp.float32)
+    zK, zB = jnp.zeros_like(Kf), jnp.zeros_like(Bf)
+
+    qh, ql = mod.qform_refined(Kf, zK, Wf, Bf, zB, s, block_m=128,
+                               block_n=128, block_k=128, interpret=True,
+                               main_precision="bf16x3")
+    got = np.asarray(qh, np.float64) + np.asarray(ql, np.float64)
+    rel = np.max(np.abs(got - q_true) / q_true)
+    assert rel < 5e-4            # HIGH-grade, not df-grade
+    assert np.isfinite(got).all()
+
+
 def test_gemv_df_fused_matches_f64():
     """The fused Pallas df GEMV (interpret mode) matches the f64 GEMV of
     the full (hi + lo) matrix — covering the lane-tree reduction, the

@@ -335,6 +335,50 @@ def test_fixed_jitter_fit_matches_ladder(data1d):
     assert gp_f.fit_status["cholesky_ok"] is True
 
 
+def test_recompute_ladder_matches_ladder(data1d):
+    """jitter_ladder='recompute' (the ~2n²-residency escalating ladder for
+    robust 32k single-chip fits) must match the carried-Gram ladder in both
+    precision modes on a well-conditioned problem."""
+    x, y, xt = data1d
+    for kw in ({}, {"precision": "double"}):
+        gp_l = GaussianProcess(gamma=0.5, s=0.1, d=1, **kw)
+        gp_r = GaussianProcess(gamma=0.5, s=0.1, d=1,
+                               jitter_ladder="recompute", **kw)
+        gp_l.fit_gp(x, y)
+        gp_r.fit_gp(x, y)
+        mu_l, sd_l = gp_l.mean_std(xt)
+        mu_r, sd_r = gp_r.mean_std(xt)
+        assert np.allclose(np.asarray(mu_l), np.asarray(mu_r), atol=1e-8), kw
+        assert np.allclose(np.asarray(sd_l), np.asarray(sd_r), atol=1e-8), kw
+        assert gp_r.fit_status["cholesky_ok"] is True
+        assert np.isclose(gp_r.fit_status["jitter_used"],
+                          gp_l.fit_status["jitter_used"], rtol=1e-6), kw
+    with pytest.raises(ValueError):
+        GaussianProcess(jitter_ladder="sometimes")
+
+
+def test_recompute_ladder_escalates_like_safe_cholesky():
+    """On an indefinite matrix both ladders must escalate through the same
+    rungs and land on the same jitter/factor."""
+    from stpy_tpu.linalg import safe_cholesky, safe_cholesky_rebuild
+
+    rng = np.random.default_rng(0)
+    n = 12
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.linspace(1.0, 0.1, n)
+    lam[-1] = -1e-9          # forces retries until j*scale > 1e-9
+    K = jnp.asarray(Q @ np.diag(lam) @ Q.T)
+    ref = safe_cholesky(K)
+    reb = safe_cholesky_rebuild(
+        lambda j: K + j * jnp.eye(n, dtype=K.dtype),
+        jnp.mean(jnp.diagonal(K)),
+    )
+    assert bool(ref.ok) and bool(reb.ok)
+    assert float(ref.jitter) > 1e-9          # it really escalated
+    assert np.isclose(float(ref.jitter), float(reb.jitter), rtol=1e-12)
+    assert np.allclose(np.asarray(ref.L), np.asarray(reb.L), atol=1e-12)
+
+
 def test_fit_predict_fused_matches_two_call(data1d):
     """fit_predict (one compiled program — the serving path) must be
     BIT-identical to fit_gp + mean_std in every precision mode, and must

@@ -191,6 +191,52 @@ def test_iterative_gp_sum_kernel_fit_and_hyperfit():
     assert out["steps_run"] >= 5
 
 
+def test_iterative_gp_double_precision_refined_mean():
+    """IterativeGP(precision='double'): the dense tier's df story beyond
+    HBM — f32 PCG + exact-df-residual refinement + df mean GEMV. On CPU
+    x64 the df ops run their exact f64 fallbacks, so the refined mean
+    must land on the direct f64 solve well past the inner CG tolerance;
+    the ragged df_chunk exercises the row-chunked GEMV."""
+    from stpy_tpu.parallel import IterativeGP
+
+    rng = np.random.default_rng(7)
+    n, d = 300, 2
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x)[:, :1])
+                    + 0.1 * rng.standard_normal((n, 1)))
+    xt = jnp.asarray(rng.uniform(-1, 1, (64, d)))
+
+    k = (KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=d)
+         + KernelFunction(kernel_name="matern", gamma=0.8, nu=1.5, d=d))
+
+    # f64 reference posterior mean
+    Kd = np.asarray(k.eval_params(k.params_dict, x, x), np.float64)
+    Ksd = np.asarray(k.eval_params(k.params_dict, xt, x), np.float64)
+    alpha64 = np.linalg.solve(Kd + 0.04 * np.eye(n), np.asarray(y))
+    mu64 = Ksd @ alpha64
+
+    # deliberately loose inner CG so the refinement has work to do
+    gp = IterativeGP(k, s=0.2, lazy=True, tol=1e-6, maxiter=400,
+                     precision="double", df_refine_steps=2, df_chunk=128)
+    gp.fit_gp(x, y)
+    assert gp._A_df is not None and gp._A_df.shape == (n, 2)
+    mu = np.asarray(gp.mean(xt))
+    rel = np.max(np.abs(mu - mu64)) / np.max(np.abs(mu64))
+    assert rel < 1e-9, rel
+
+    # single mode on the same tolerance is measurably worse — the
+    # refinement is doing the work, not the CG tolerance
+    gp1 = IterativeGP(k, s=0.2, lazy=True, tol=1e-6, maxiter=400)
+    gp1.fit_gp(x, y)
+    rel1 = np.max(np.abs(np.asarray(gp1.mean(xt)) - mu64)) / np.max(
+        np.abs(mu64))
+    assert rel1 > rel * 10
+
+    # mesh tiers are f32 — double must raise, not silently downgrade
+    with pytest.raises(ValueError):
+        IterativeGP(k, s=0.2, precision="triple")
+
+
 def test_pivoted_cholesky_preconditioner_cuts_cg_iterations():
     """Rank-r pivoted Cholesky (matrix-free, any kernel) approximates the
     Gram and its Woodbury apply slashes CG iterations on an

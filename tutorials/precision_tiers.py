@@ -11,7 +11,7 @@ a TPU takes compensated arithmetic, exposed as two knobs on
   precision="double"   the Gram is built as DOUBLE-FLOAT (hi, lo) pairs by
                        a Pallas kernel (error-free transforms on the VPU,
                        ~1.3e-10 per entry), the fit runs iterative-
-                       refinement steps (`df_refine_steps`, default 2)
+                       refinement steps (`df_refine_steps`, default 1)
                        with an EXACT df residual GEMV, and the predictive
                        mean uses the same exact GEMV: mean ≤1e-7 at n=16k
                        for every df family (se 8.4e-8, matern32 7.2e-8,
