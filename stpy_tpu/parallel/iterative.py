@@ -20,6 +20,7 @@ the matrix-free evidence hyperfit (`optimize_params` → parallel/bbmm.py).
 from __future__ import annotations
 
 import functools
+import warnings
 
 import numpy as np
 import jax
@@ -671,6 +672,20 @@ class IterativeGP:
         self.A = alpha.reshape(-1, 1)
         self.cg_iterations = int(it)
         self.cg_residual = float(res)
+        converged = self.cg_residual <= self.tol
+        if not converged and self.precision != "double":
+            # failure detection as returned flags (SURVEY §5) — the dense
+            # tier reports cholesky_ok; here the analogue is the inner
+            # solve hitting maxiter short of tol. In double mode the df
+            # refinement absorbs a loose inner solve (rate = its relative
+            # error; see df_residuals), so only the f32 tier warns.
+            warnings.warn(
+                f"IterativeGP CG hit maxiter={self.maxiter} at relative "
+                f"residual {self.cg_residual:.1e} (tol {self.tol:.1e}); "
+                "posterior accuracy is bounded by this residual — raise "
+                "maxiter/precond_rank or use precision='double'",
+                stacklevel=2,
+            )
         if self.precision == "double":
             # iterative refinement with EXACT df residuals: converges at
             # rate ~ the inner PCG's relative error, so `df_refine_steps`
@@ -706,6 +721,15 @@ class IterativeGP:
             self.A = a_h
         else:
             self._A_df = None
+        self.fit_status = {
+            "converged": bool(converged),
+            "cg_iterations": self.cg_iterations,
+            "cg_residual": self.cg_residual,
+            "n": int(self.n),
+            "precision": self.precision,
+            "df_residuals": list(getattr(self, "df_residuals", []) or [])
+            if self.precision == "double" else None,
+        }
         self.fitted = True
         return None
 

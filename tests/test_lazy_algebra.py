@@ -679,3 +679,46 @@ def test_rayleigh_nystrom_precond_high_condition_f32():
     # ... more rank strictly helps, and the largest rank accelerates hard
     assert iters == sorted(iters, reverse=True), iters
     assert iters[-1] < int(it0) // 3, iters
+
+
+def test_iterative_gp_fit_status_flags():
+    """IterativeGP reports failure-detection flags (SURVEY §5): a
+    converged fit sets converged=True with the CG stats; a maxiter-capped
+    f32 fit warns and sets converged=False; the double tier records its
+    exact per-step df residuals instead of warning (refinement absorbs a
+    loose inner solve)."""
+    from stpy_tpu.parallel import IterativeGP
+
+    rng = np.random.default_rng(3)
+    n, d = 200, 2
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x)[:, :1]))
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=d)
+
+    gp = IterativeGP(k, s=0.3, lazy=True, tol=1e-6, maxiter=500)
+    gp.fit_gp(x, y)
+    st = gp.fit_status
+    assert st["converged"] is True and st["cg_residual"] <= 1e-6
+    assert st["n"] == n and st["precision"] == "single"
+    assert st["df_residuals"] is None
+
+    with pytest.warns(UserWarning, match="hit maxiter"):
+        gp_bad = IterativeGP(k, s=0.3, lazy=True, tol=1e-14, maxiter=3)
+        gp_bad.fit_gp(x, y)
+    assert gp_bad.fit_status["converged"] is False
+    assert gp_bad.fit_status["cg_iterations"] == 3
+
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")          # double must NOT warn
+        # loose-but-converged inner solve: refinement contracts at rate
+        # ~ the inner solve's relative error (~1e-3 per step here)
+        gp_df = IterativeGP(k, s=0.3, lazy=True, tol=1e-3, maxiter=200,
+                            precision="double", df_refine_steps=2,
+                            df_chunk=64)
+        gp_df.fit_gp(x, y)
+    st = gp_df.fit_status
+    assert st["precision"] == "double"
+    assert len(st["df_residuals"]) == 2
+    # refinement really contracted the exact residual
+    assert st["df_residuals"][1] < st["df_residuals"][0]
