@@ -69,14 +69,36 @@ def main():
         times.append(time.perf_counter() - t0)
     wall = float(np.median(times))
 
+    # the ACCURACY-QUALIFIED serving config measured alongside the raw
+    # headline, so the driver metric cannot silently drift toward
+    # accuracy-free speed: precision="double" + var_refine=1 fit_predict
+    # is the ≤1e-7 posterior-mean / 1e-6-class variance tier
+    # (benchmarks/RESULTS.md, batch Q/Y)
+    from stpy_tpu.models import GaussianProcess
+
+    gp = GaussianProcess(
+        kernel=kernel, s=s, precision="double", var_refine=1,
+    )
+    gp.fit_predict(x, y, xt)  # compile + warm-up
+    dtimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mu_d, sd_d = gp.fit_predict(x, y, xt)
+        float(jnp.sum(mu_d) + jnp.sum(sd_d))
+        dtimes.append(time.perf_counter() - t0)
+    wall_double = float(np.median(dtimes))
+
     # baseline: the reference publishes no numbers (BASELINE.md), so it was
     # MEASURED on this host (benchmarks/exp_reference_wall.py): the actual
     # /root/reference stpy GaussianProcess (torch f64, its faster no-grad
     # LU path) on this exact workload = 605.1 s fit + 494.2 s mean_std =
-    # 1099.28 s total. Caveat recorded in RESULTS.md: this host exposes ONE
-    # CPU core to torch; on a typical 32-core server the reference would be
-    # roughly 30-60x faster — still two orders of magnitude above one chip.
+    # 1099.28 s total. Caveat: this host exposes ONE CPU core to torch; on
+    # a typical 32-core server the reference's LAPACK stages would scale
+    # ~30-60x (its per-point Python diagonal loop would not) — the
+    # extrapolated multicore ratio is emitted alongside so the headline
+    # number carries its own caveat.
     REF_WALL_S = 1099.28
+    REF_MULTICORE_SCALE = 45.0  # midpoint of the 30-60x LAPACK estimate
     print(
         json.dumps(
             {
@@ -84,6 +106,15 @@ def main():
                 "value": round(wall, 4),
                 "unit": "s",
                 "vs_baseline": round(REF_WALL_S / wall, 1),
+                "serving_double_vr1_wall_s": round(wall_double, 4),
+                "baseline_note": (
+                    "reference wall 1099.28 s measured on THIS host with "
+                    "torch pinned to one CPU core; ~30-60x faster on a "
+                    "typical 32-core server"
+                ),
+                "vs_baseline_multicore_est": round(
+                    REF_WALL_S / REF_MULTICORE_SCALE / wall, 1
+                ),
             }
         )
     )

@@ -368,6 +368,14 @@ class IterativeGP:
         if precision not in ("single", "double"):
             raise ValueError(
                 f"precision must be single|double, got {precision}")
+        if precision == "double" and mesh is not None:
+            # fail at construction, not after a (possibly minutes-long at
+            # 65k-scale) sharded CG solve completes and the df refinement
+            # branch first asks for the df descriptor
+            raise NotImplementedError(
+                "precision='double' runs on the single-chip path "
+                "(mesh=None); the mesh tiers are f32"
+            )
         self.precision = precision
         self.df_refine_steps = max(0, int(df_refine_steps))
         self.df_chunk = int(df_chunk)
@@ -418,11 +426,6 @@ class IterativeGP:
     def _df_desc(self):
         from stpy_tpu.kernels.df_plan import df_atom_desc
 
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "precision='double' runs on the single-chip path "
-                "(mesh=None); the mesh tiers are f32"
-            )
         if getattr(self, "_df_desc_cache", None) is None:
             self._df_desc_cache = df_atom_desc(self.kernel_object)
         return self._df_desc_cache
@@ -719,6 +722,26 @@ class IterativeGP:
                 a_h, a_l = nh, a_l + e
             self._A_df = jnp.concatenate([a_h, a_l], axis=1)
             self.A = a_h
+            # double mode suppresses the generic maxiter warning above on
+            # the premise that refinement absorbs a loose inner solve — but
+            # refinement contracts at rate ≈ the inner solve's RELATIVE
+            # error, so a genuinely stalled CG (residual ~1) refines
+            # nowhere. Warn when the measured df residuals fail to
+            # contract, or when there were no refinement steps to absorb a
+            # non-converged inner solve at all.
+            rs = self.df_residuals
+            stalled = (
+                len(rs) >= 2 and rs[0] > 0 and rs[-1] > 0.5 * rs[0]
+            ) or (len(rs) >= 1 and rs[-1] > 1e-1)
+            if stalled or (not converged and self.df_refine_steps == 0):
+                warnings.warn(
+                    "IterativeGP double-mode refinement is not contracting "
+                    f"(df residuals {rs}, inner CG residual "
+                    f"{self.cg_residual:.1e}); the posterior is bounded by "
+                    "the LAST df residual, not the df floor — raise "
+                    "maxiter/precond_rank so the inner solve makes progress",
+                    stacklevel=2,
+                )
         else:
             self._A_df = None
         self.fit_status = {

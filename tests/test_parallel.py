@@ -477,15 +477,24 @@ def test_iterative_gp_lazy_over_mesh(mesh8):
     rng = np.random.default_rng(3)
     x = rng.uniform(-1, 1, (64, 2))
     y = np.sin(3 * x[:, :1]) + 0.05 * rng.standard_normal((64, 1))
-    kse = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=2)
-    kmat = KernelFunction(kernel_name="matern", gamma=0.8, nu=1.5, d=2)
+    # fresh kernels per case: KernelFunction.__add__/__mul__ MUTATE self
+    # (reference parity, stpy/kernels.py:76-94) — reusing one kse object
+    # across cases would alias all three to a single mutated combination
+    mk_se = lambda: KernelFunction(
+        kernel_name="squared_exponential", gamma=0.5, d=2)
+    mk_mat = lambda: KernelFunction(
+        kernel_name="matern", gamma=0.8, nu=1.5, d=2)
     cases = [
-        ("atom", kse),
-        ("sum", kse + kmat),                       # fast tier, 2 passes
-        ("product", kse * kmat),                   # general chunked tier
+        ("atom", mk_se(), True),              # fast tier, single fused atom
+        ("sum", mk_se() + mk_mat(), True),    # fast tier, 2 fused passes
+        ("product", mk_se() * mk_mat(), False),  # general chunked tier
     ]
     xt = rng.uniform(-1, 1, (16, 2))
-    for name, k in cases:
+    from stpy_tpu.parallel.lazy_kernel import fast_atoms
+
+    for name, k, expect_fast in cases:
+        # the tier this case claims to exercise is the tier actually taken
+        assert (fast_atoms(k) is not None) == expect_fast, name
         gp = GaussianProcess(kernel=k, s=0.1)
         gp.fit_gp(x, y)
         mu_ref = gp.mean_std(xt)[0]
