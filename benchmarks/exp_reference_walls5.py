@@ -140,20 +140,17 @@ def _install_stubs():
     stub("torchmin", minimize=torchmin_minimize)
     stub("autograd_minimize", minimize=autograd_minimize)
 
-    # torch 1.x APIs the reference calls, removed in torch 2.x
-    if not hasattr(torch, "solve"):
-        torch.solve = lambda B, A: (torch.linalg.solve(A, B), None)
-    if not hasattr(torch, "cholesky"):
-        torch.cholesky = lambda A, upper=False: (
-            torch.linalg.cholesky(A).mH if upper
-            else torch.linalg.cholesky(A))
-    if not hasattr(torch, "symeig"):
-        def _symeig(A, eigenvectors=False, upper=True):
-            w, v = torch.linalg.eigh(A)
-            return (w, v) if eigenvectors else (w, torch.empty(0))
-        torch.symeig = _symeig
-    if not hasattr(torch.Tensor, "symeig"):
-        torch.Tensor.symeig = lambda self, **kw: torch.symeig(self, **kw)
+    # torch 1.x APIs the reference calls; torch 2.13 keeps the names but
+    # they RAISE a removal error, so override unconditionally
+    torch.solve = lambda B, A: (torch.linalg.solve(A, B), None)
+    torch.cholesky = lambda A, upper=False: (
+        torch.linalg.cholesky(A).mH if upper
+        else torch.linalg.cholesky(A))
+
+    def _symeig(A, eigenvectors=False, upper=True):
+        w, v = torch.linalg.eigh(A)
+        return (w, v) if eigenvectors else (w, torch.empty(0))
+    torch.symeig = _symeig
 
 
 def _setup():
@@ -210,10 +207,22 @@ def config2(torch):
     mu, std = F.mean_std(xt)
     f = F.sample(xt, size=64)
     wall = time.perf_counter() - t0
+
+    # quality vs the reference's OWN exact GP on the same data — the same
+    # gate run_all.py applies to the rebuild (mu_err_vs_exact)
+    from stpy.continuous_processes.gauss_procc import GaussianProcess
+    from stpy.kernels import KernelFunction
+
+    k = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=2)
+    gp = GaussianProcess(kernel=k, s=0.05, d=2)
+    gp.back_prop = False
+    gp.fit_gp(x, y)
+    mu_e, std_e = gp.mean_std(xt)
     return {"config": 2, "wall_s": round(wall, 3),
             "basis_size": int(F.m) if np.ndim(F.m) == 0 else
             int(torch.sum(F.m)),
-            "mu_range": [float(mu.min()), float(mu.max())]}
+            "mu_err_vs_exact": float(torch.abs(mu - mu_e).max()),
+            "std_err_vs_exact": float(torch.abs(std - std_e).max())}
 
 
 def config3(torch):

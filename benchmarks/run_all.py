@@ -39,6 +39,31 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
+# repeat/noise discipline (VERDICT r3 task 5): one timing per config is
+# indistinguishable from the ±0.5 s tunnel noise the rounds kept waving
+# away — every config now reports median + IQR over REPS warm runs, so a
+# real regression is visible against the measured spread.
+REPS = int(os.environ.get("RUN_ALL_REPS", "5"))
+
+
+def _timed_stats(fn):
+    """Median + IQR over REPS warm runs (first call outside = compile)."""
+    walls = []
+    out = None
+    for _ in range(REPS):
+        w, out = _timed(fn)
+        walls.append(w)
+    walls = np.asarray(walls)
+    return {
+        "wall_s": round(float(np.median(walls)), 4),
+        "wall_iqr_s": round(float(np.percentile(walls, 75)
+                                  - np.percentile(walls, 25)), 4),
+        "wall_min_s": round(float(walls.min()), 4),
+        "wall_max_s": round(float(walls.max()), 4),
+        "reps": int(REPS),
+    }, out
+
+
 def config1_exact_gp_hyperfit():
     from stpy_tpu.models import GaussianProcess
 
@@ -54,12 +79,12 @@ def config1_exact_gp_hyperfit():
         return gp.L
 
     _timed(run)      # warm-up: compile the vmapped L-BFGS program
-    wall, _ = _timed(run)
+    stats, _ = _timed_stats(run)
     gamma = float(gp.kernel_object.params_dict["0"]["gamma"])
     hm = getattr(gp, "hyperopt_metrics", {})
     return {
         "config": "1d_exact_gp_n1024_evidence_hyperfit",
-        "wall_s": round(wall, 4),
+        **stats,
         "fitted_gamma": round(gamma, 4),
         "lbfgs_iters": hm.get("iterations", np.array([])).tolist(),
         "converged": hm.get("converged", np.array([])).astype(int).tolist(),
@@ -93,10 +118,10 @@ def config2_ff_vs_exact():
         return mu, std, f
 
     _timed(run)      # warm-up (compile)
-    wall, (mu, std, f) = _timed(run)
+    stats, (mu, std, f) = _timed_stats(run)
     return {
         "config": "2d_ff_gp_m512_posterior_sampling",
-        "wall_s": round(wall, 4),
+        **stats,
         "mu_err_vs_exact": float(jnp.abs(mu - mu_e).max()),
         "std_err_vs_exact": float(jnp.abs(std - std_e).max()),
     }
@@ -125,11 +150,11 @@ def config3_nystrom_50k():
         return mu
 
     _timed(run)      # warm-up (compile)
-    wall, mu = _timed(run)
+    stats, mu = _timed_stats(run)
     resid = float(jnp.abs(mu - y[:2048]).mean())
     return {
         "config": "nystrom_ridge_n50k_additive_matern",
-        "wall_s": round(wall, 4),
+        **stats,
         "train_mae_head": round(resid, 4),
     }
 
@@ -173,7 +198,7 @@ def config4_poisson_2d():
         return est.rate
 
     _timed(run)      # warm-up (compile)
-    wall, _ = _timed(run)
+    stats, _ = _timed_stats(run)
     D = hierarchy.top_node
     fitted_total = float(est.mean_set(D)[0])
     true_total = process.rate_volume(D, dt=1.0)
@@ -184,7 +209,7 @@ def config4_poisson_2d():
     return {
         "quality_ok_10pct": bool(quality_ok),
         "config": "poisson_2d_positive_basis_quadrature",
-        "wall_s": round(wall, 4),
+        **stats,
         "fitted_total_rate": round(fitted_total, 3),
         "true_total_rate": round(true_total, 3),
     }
@@ -210,12 +235,12 @@ def config5_cox_mkl_64restarts():
         return gp.L
 
     _timed(run)      # warm-up (compile)
-    wall, _ = _timed(run)
+    stats, _ = _timed_stats(run)
     hm = getattr(gp, "hyperopt_metrics", {})
     iters = hm.get("iterations", np.array([]))
     return {
         "config": "cox_mkl_hyperopt_64_vmapped_restarts",
-        "wall_s": round(wall, 4),
+        **stats,
         "fitted_gamma": round(
             float(gp.kernel_object.params_dict["0"]["gamma"]), 4
         ),

@@ -55,7 +55,16 @@ def df_atom_desc(kernel_object):
 
 def df_gram_from_desc(kernel_object, params_dict, a, b, desc):
     """(hi, lo) Gram of the (possibly composite) kernel: per-atom df
-    Pallas Grams folded with barrier-guarded df add/mul."""
+    Pallas Grams folded with barrier-guarded df add/mul.
+
+    Hyperparameter semantics: `<key>__lo` leaves (KernelFunction.
+    params_with_lo) restore the f64 meaning of f32-stored params —
+    γ = γ_hi + γ_lo through a df reciprocal. When absent and the call is
+    EAGER (IterativeGP's chunked df tier), the value-keyed shadow is
+    consulted directly; a traced call without lo leaves falls back to
+    f32-rounded semantics (γ = f32(γ))."""
+    import jax
+
     from stpy_tpu.ops.pallas_gram_df import _df_add, _df_mul, gram_df
 
     outh = outl = None
@@ -64,11 +73,27 @@ def df_gram_from_desc(kernel_object, params_dict, a, b, desc):
              **params_dict.get(str(i), {})}
         gamma = p[gkey]
         kappa = p.get("kappa", 1.0)
+        gamma_lo = p.get(gkey + "__lo")
+        kappa_lo = p.get("kappa__lo")
+        if gamma_lo is None and not isinstance(gamma, jax.core.Tracer):
+            lo = kernel_object.lo_limbs(str(i))
+            gamma_lo = lo.get(gkey)
+            if kappa_lo is None and lo.get("kappa") is not None:
+                kappa_lo = lo["kappa"].reshape(jnp.shape(kappa))
         aa = a if group is None else a[:, jnp.asarray(group)]
         bb = b if group is None else b[:, jnp.asarray(group)]
         if gkey == "ard_gamma" and group is not None:
-            gamma = jnp.asarray(gamma).reshape(-1)[jnp.asarray(group)]
-        Kh, Kl = gram_df(aa, bb, gamma, kappa, family=fam, nu=nu)
+            idx = jnp.asarray(group)
+            gamma = jnp.asarray(gamma).reshape(-1)[idx]
+            if gamma_lo is not None:
+                gamma_lo = jnp.asarray(gamma_lo).reshape(-1)[idx]
+        if not isinstance(kappa, jax.core.Tracer):
+            # concrete κ keeps the host fast path in gram_df (which does
+            # its own f64 split); only a traced κ needs the lo leaf
+            kappa = kappa if isinstance(kappa, (int, float)) else (
+                jnp.asarray(kappa))
+        Kh, Kl = gram_df(aa, bb, gamma, kappa, family=fam, nu=nu,
+                         gamma_lo=gamma_lo, kappa_lo=kappa_lo)
         if op == "+":
             outh, outl = _df_add(outh, outl, Kh, Kl)
         elif op == "*":

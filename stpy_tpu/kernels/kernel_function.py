@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax.numpy as jnp
 
 from stpy_tpu.config import as_array, default_dtype
@@ -152,6 +153,86 @@ class KernelFunction:
         self.operations = ["-"]
         self.params_dict = {"0": p}
         self.kernel_items = 1
+        # value-keyed f64 lo-limb shadows of numeric hyperparameters: the
+        # stored params are f32 on TPU (default_dtype), which silently
+        # rounds e.g. γ=1.1 by 2.4e-8 — enough to shift double-float Gram
+        # entries by ~2e-8 at the t = 1+√3 band (the r3 "matern anomaly",
+        # benchmarks/exp_r4_anomaly.py). The shadow records γ − f32(γ) at
+        # construction, keyed by the f32 bytes so it self-invalidates when
+        # hyperopt overwrites the stored value (the fitted value then IS
+        # the f32 number). Consumed by the df tier via params_with_lo().
+        self._params_lo = {}
+        host_src = {"gamma": gamma, "kappa": kappa}
+        if ard_gamma is not None:
+            host_src["ard_gamma"] = ard_gamma
+        if params:
+            host_src.update(params)
+        for key in ("gamma", "ard_gamma", "kappa"):
+            if key in p and key in host_src and isinstance(
+                host_src[key], (int, float, np.ndarray, np.floating, list)
+            ):
+                self._record_lo("0", key, host_src[key])
+
+    # -- f64 lo-limb shadows (df tier) ----------------------------------------
+    def _record_lo(self, idx, key, host_val):
+        """Record γ − f32(γ) for a host-specified numeric param, keyed by
+        the stored f32 bytes (self-invalidating on overwrite). Only when
+        the stored dtype IS f32 — f64 storage (CPU x64 tests) keeps the
+        full meaning already, and a shadow would double-count."""
+        sarr = np.asarray(self.params_dict[idx][key])
+        if sarr.dtype != np.float32:
+            return
+        stored = sarr.reshape(-1)
+        try:
+            arr64 = np.broadcast_to(
+                np.asarray(host_val, np.float64).reshape(-1), stored.shape
+            ).astype(np.float64)
+        except (ValueError, TypeError):
+            return
+        if not np.array_equal(arr64.astype(np.float32), stored):
+            return  # stored value is not the rounding of this host value
+        lo = (arr64 - stored.astype(np.float64)).astype(np.float32)
+        if np.any(lo):
+            self._params_lo[(str(idx), key)] = (stored.tobytes(), lo)
+
+    def lo_limbs(self, idx, params=None):
+        """(gamma_lo, ard_gamma_lo, kappa_lo) f32 arrays (or None) for atom
+        `idx`, validated against the CURRENT stored values — a stale
+        shadow (hyperopt overwrote the param) returns None."""
+        p = (params or self.params_dict)[idx]
+        out = {}
+        shadows = getattr(self, "_params_lo", {})
+        for key in ("gamma", "ard_gamma", "kappa"):
+            rec = shadows.get((idx, key))
+            if rec is None or key not in p:
+                out[key] = None
+                continue
+            cur = np.asarray(p[key], np.float32).reshape(-1)
+            out[key] = rec[1] if rec[0] == cur.tobytes() else None
+        return out
+
+    def params_with_lo(self, params_dict=None):
+        """Copy of params_dict augmented with `<key>__lo` f32 leaves for
+        gamma/ard_gamma/kappa (zeros when no valid shadow exists) — the
+        df tier's call-time params. Must be built OUTSIDE jit (values are
+        compared by bytes); inside jit the lo leaves are ordinary traced
+        arrays, so the augmented pytree structure is stable across refits."""
+        pd = params_dict or self.params_dict
+        out = {}
+        for idx, p in pd.items():
+            q = dict(p)
+            lo = self.lo_limbs(idx, pd)
+            for key in ("gamma", "ard_gamma", "kappa"):
+                if key in p:
+                    shape = jnp.shape(p[key])
+                    v = lo[key]
+                    if v is None:
+                        q[key + "__lo"] = jnp.zeros(shape, jnp.float32)
+                    else:
+                        q[key + "__lo"] = jnp.asarray(
+                            v.reshape(shape), jnp.float32)
+            out[idx] = q
+        return out
 
     # -- functional dispatch -------------------------------------------------
     @staticmethod
@@ -256,8 +337,14 @@ class KernelFunction:
     def _combine(self, other: "KernelFunction", op: str) -> "KernelFunction":
         self._atoms = self._atoms + other._atoms
         self.operations = self.operations + other.operations[1:]
-        for _, value in other.params_dict.items():
-            self.params_dict[str(self.kernel_items)] = value
+        for okey, value in other.params_dict.items():
+            new_idx = str(self.kernel_items)
+            self.params_dict[new_idx] = value
+            # carry the other kernel's lo shadows under the new index
+            for (oidx, pkey), rec in getattr(other, "_params_lo",
+                                             {}).items():
+                if oidx == okey:
+                    self._params_lo[(new_idx, pkey)] = rec
             self.kernel_items += 1
         self.operations.append(op)
         return self

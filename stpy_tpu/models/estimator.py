@@ -224,15 +224,23 @@ class Estimator(ABC):
             # (measured: 3 concurrent restarts at n = 8k crash the worker,
             # 1 works; at n ≤ 4k full batches are fine)
             n_pts = int(self.x.shape[0])
-            per_restart_bytes = 16 * n_pts * n_pts * (
-                8 if dt == jnp.float64 else 4
-            ) / 4
+            itemsize = 8 if dt == jnp.float64 else 4
+            per_restart_bytes = 16 * n_pts * n_pts * itemsize / 4
             chunk = max(1, min(restarts,
                                int(2e9 // max(per_restart_bytes, 1))))
+            # batched linesearch: all 12 backtracking candidates evaluated
+            # in ONE vmapped call (sequential depth 2/iteration instead of
+            # 1 + linesearch depth — each sequential evaluation at hyperopt
+            # sizes is latency, not FLOPs, on TPU). Value-only candidate
+            # evals cost ~2n² each; gate by the same ~2 GB budget and fall
+            # back to the sequential backtracking beyond it.
+            n_ls = 12
+            cand_bytes = chunk * n_ls * 2 * n_pts * n_pts * itemsize
+            ls_kind = "batched" if cand_bytes <= 2e9 else "backtracking"
             cache_key = (
                 tuple((s_[0], s_[1], s_[2]) for s_ in specs),
                 chunk, maxiter, float(mingradnorm), weight,
-                float(rtol), float(xtol),
+                float(rtol), float(xtol), ls_kind,
                 regularizer_func is None, id(kernel),
             )
             if not hasattr(self, "_hyperopt_runners"):
@@ -247,14 +255,15 @@ class Estimator(ABC):
                             # norm never reaches 1e-6 on an evidence —
                             # without these every restart burns maxiter
                             rtol=rtol, xtol=xtol,
-                            # backtracking: same optimum as zoom here,
-                            # ~3x faster XLA compile. Shallow cap: under
-                            # vmap every lane pays the deepest lane's
-                            # backtracking, and with L-BFGS scaling the
-                            # accepted step is almost always within a few
-                            # halvings (quality checked on configs 1/5)
-                            linesearch="backtracking",
-                            max_linesearch_steps=12,
+                            # batched (preferred) or backtracking: same
+                            # optimum as zoom here, much smaller XLA
+                            # program than zoom. Shallow cap: under vmap
+                            # every lane pays the deepest lane's search,
+                            # and with L-BFGS scaling the accepted step is
+                            # almost always within a few halvings (quality
+                            # checked on configs 1/5)
+                            linesearch=ls_kind,
+                            max_linesearch_steps=n_ls,
                         ),
                         in_axes=(0, None, None, None, None),
                     )

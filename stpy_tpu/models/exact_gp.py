@@ -368,6 +368,17 @@ class GaussianProcess(Estimator, RandomProcess):
         if self._precision == "double":
             self._build_df_jits()  # overrides fit/predict, keeps full-cov
 
+    def _pd(self):
+        """Call-time params for the jitted fits/predicts: the df tier gets
+        the lo-limb-augmented dict (KernelFunction.params_with_lo) so
+        f32-inexact hyperparameters like γ=1.1 keep their f64 meaning
+        through the df Gram (the 2e-8 γ-rounding shift was the r3 'matern
+        anomaly' — benchmarks/exp_r4_anomaly.py); built OUTSIDE jit, the
+        lo leaves are ordinary traced args so refits don't retrace."""
+        if self._precision == "double":
+            return self.kernel_object.params_with_lo()
+        return self.kernel_object.params_dict
+
     def fit_gp(self, x, y, Sigma=None, iterative=False, extrapoint=False):
         """Fit the GP: Gram + jittered Cholesky + solve. `Sigma` optionally
         gives a per-point noise std matrix (K += Σ^TΣ as in
@@ -388,8 +399,7 @@ class GaussianProcess(Estimator, RandomProcess):
             self._build_jits()
         if Sigma is None:
             out = self._fit_fn(
-                x, y, self.kernel_object.params_dict,
-                jnp.asarray(self.s, x.dtype),
+                x, y, self._pd(), jnp.asarray(self.s, x.dtype),
             )
             self.L, self.A, chol_ok, jitter_used = out[:4]
             if self._precision == "double":
@@ -476,8 +486,7 @@ class GaussianProcess(Estimator, RandomProcess):
         if self._fit_fn is None:
             self._build_jits()
         out, (mu, sd) = self._fit_predict_fn(
-            x, y, self.kernel_object.params_dict,
-            jnp.asarray(self.s, x.dtype), xtest,
+            x, y, self._pd(), jnp.asarray(self.s, x.dtype), xtest,
         )
         self.L, self.A, chol_ok, jitter_used = out[:4]
         if self._precision == "double":
@@ -566,10 +575,11 @@ class GaussianProcess(Estimator, RandomProcess):
             return zero, jnp.sqrt(kd)[:, None]
         if full:
             return self._predict_full_fn(
-                self.L, self.A, self.x, xtest, self.kernel_object.params_dict
+                self.L, self.A, self.x, xtest,
+                self.kernel_object.params_dict
             )
         return self._predict_fn(
-            self.L, self.A, self.x, xtest, self.kernel_object.params_dict
+            self.L, self.A, self.x, xtest, self._pd()
         )
 
     def mean(self, xtest):

@@ -61,6 +61,19 @@ class KernelizedFeatures(Estimator, RandomProcess):
         self.dual = False
         self.beta_fun = beta_fun
         self.bound = bound
+        # jitted stage cache: each public call (fit/mean_std/sample) runs
+        # as ONE compiled program instead of dozens of eager dispatches —
+        # through the remote-TPU tunnel every eager op pays the ~31 ms
+        # dispatch floor, which made the m≈500 serving path ~2 s of pure
+        # latency (r3 config 2). Keyed by the noise/ridge scalars and the
+        # embedding object identity (hyperopt builds new embeddings).
+        self._jits = {}
+
+    def _jit(self, name, builder):
+        key = (name, float(self.s), float(self.lam), id(self.embedding))
+        if key not in self._jits:
+            self._jits[key] = jax.jit(builder())
+        return self._jits[key]
 
     # -- embedding plumbing ----------------------------------------------------
     def description(self):
@@ -222,27 +235,39 @@ class KernelizedFeatures(Estimator, RandomProcess):
             self.to_add = []
             self.fitted = True
         elif self.data:
-            self.Q = self.embed(self.x)
             if self.dual:
-                Z = self.Q @ self.Q.T
-                self.K = Z + self.s**2 * self.lam * jnp.eye(
-                    self.n, dtype=Z.dtype
-                )
-                self.invK = cho_solve(
-                    safe_cholesky(self.K).L, jnp.eye(self.n, dtype=Z.dtype)
-                )
-                self.invK_V = (1.0 / self.lam) * (
-                    -self.Q.T @ self.invK @ self.Q
-                    + jnp.eye(self.m, dtype=Z.dtype)
-                )
+                def _dual_state():
+                    def f(x):
+                        Q = self.embedding.embed(x)
+                        Z = Q @ Q.T
+                        K = Z + self.s**2 * self.lam * jnp.eye(
+                            Z.shape[0], dtype=Z.dtype)
+                        invK = cho_solve(
+                            safe_cholesky(K).L,
+                            jnp.eye(Z.shape[0], dtype=Z.dtype))
+                        invK_V = (1.0 / self.lam) * (
+                            -Q.T @ invK @ Q
+                            + jnp.eye(self.m, dtype=Z.dtype))
+                        return Q, K, invK, invK_V
+                    return f
+
+                self.Q, self.K, self.invK, self.invK_V = self._jit(
+                    "dual_state", _dual_state)(self.x)
             else:
-                Z = self.Q.T @ self.Q
-                self.V = Z + self.s**2 * self.lam * jnp.eye(
-                    self.m, dtype=Z.dtype
-                )
-                self.invV = cho_solve(
-                    safe_cholesky(self.V).L, jnp.eye(self.m, dtype=Z.dtype)
-                )
+                def _primal_state():
+                    def f(x):
+                        Q = self.embedding.embed(x)
+                        Z = Q.T @ Q
+                        V = Z + self.s**2 * self.lam * jnp.eye(
+                            self.m, dtype=Z.dtype)
+                        invV = cho_solve(
+                            safe_cholesky(V).L,
+                            jnp.eye(self.m, dtype=Z.dtype))
+                        return Q, V, invV
+                    return f
+
+                self.Q, self.V, self.invV = self._jit(
+                    "primal_state", _primal_state)(self.x)
             self.fitted = True
 
     def get_invV(self):
@@ -279,6 +304,21 @@ class KernelizedFeatures(Estimator, RandomProcess):
 
     def mean_std(self, xtest):
         self.precompute()
+        xtest = as_array(xtest)
+        if self.fitted and not self.dual and self.Q is not None:
+            # one-dispatch serving path (see _jits)
+            def _ms():
+                def f(invV, Q, y, xt):
+                    emb = self.embedding.embed(xt)
+                    tm = invV @ (Q.T @ y)
+                    diag = self.s**2 * jnp.einsum(
+                        "ij,jk,ik->i", emb, invV, emb)
+                    return (emb @ tm,
+                            jnp.sqrt(jnp.clip(diag, 1e-30))[:, None])
+                return f
+
+            return self._jit("mean_std_primal", _ms)(
+                self.invV, self.Q, self.y, xtest)
         emb = self.embed(xtest)
         tm = self.theta_mean()
         ymean = emb @ tm
@@ -354,6 +394,24 @@ class KernelizedFeatures(Estimator, RandomProcess):
         return np.sqrt(self.lam) * z + self.prior_mean
 
     def sample(self, xtest, size=1, prior=False, key=None):
+        if (not prior and self.fitted and not self.dual
+                and getattr(self, "Q", None) is not None):
+            # one-dispatch posterior sampling (see _jits)
+            key = key if key is not None else jax.random.PRNGKey(
+                np.random.randint(2**31))
+            xtest = as_array(xtest)
+
+            def _smp():
+                def f(invV, Q, y, xt, k):
+                    z = jax.random.normal(k, (self.m, size),
+                                          default_dtype())
+                    L = safe_cholesky(invV).L * self.s
+                    theta = invV @ (Q.T @ y) + L @ z
+                    return self.embedding.embed(xt) @ theta
+                return f
+
+            return self._jit(("sample_primal", size), _smp)(
+                self.invV, self.Q, self.y, xtest, key)
         theta = self.sample_theta(size=size, prior=prior, key=key)
         return self.embed(xtest) @ theta
 

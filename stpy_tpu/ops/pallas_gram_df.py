@@ -419,6 +419,25 @@ def _df_inv(g):
     return ih, ih * r
 
 
+def _df_inv_pair(gh, gl):
+    """Double-float reciprocal of the df PAIR gh + gl (barrier-guarded
+    HLO path): f32 seed + one Newton step with the residual computed in
+    df — r = r0·(1 + e), e = 1 − (gh+gl)·r0. Final pair ~eps² relative.
+
+    This is how a TRACED hyperparameter keeps its f64 meaning through the
+    df tier: params_dict stores f32(γ), the value-keyed lo shadow
+    (KernelFunction.params_with_lo) restores γ − f32(γ), and this inverse
+    reproduces 1/γ — without it the df Gram represents k(x·f32(1/γ)),
+    a δγ-relative shift whose max abs entry error lands exactly at
+    t = 1+√3 (the r3 'matern anomaly', benchmarks/exp_r4_anomaly.py)."""
+    gh = jnp.asarray(gh, jnp.float32)
+    gl = jnp.asarray(gl, jnp.float32)
+    r0 = 1.0 / gh
+    p, pe = _two_prod(gh, r0)
+    e = ((1.0 - p) - pe) - gl * r0
+    return _fast_two_sum(r0, r0 * e)
+
+
 def _df_scale_coords(x, inv_h, inv_l):
     """Elementwise df product x*(inv_h+inv_l) -> (hi, lo), plain jnp."""
     x = jnp.asarray(x, jnp.float32)
@@ -426,13 +445,19 @@ def _df_scale_coords(x, inv_h, inv_l):
     return _fast_two_sum(p, pe + x * inv_l)
 
 
-def _f64_reference(x, y, gamma, kappa, family, nu):
+def _f64_reference(x, y, gamma, kappa, family, nu, gamma_lo=None,
+                   kappa_lo=None):
     """Exact f64 (hi, lo) on CPU-x64 backends — the test-suite contract."""
     g64 = jnp.asarray(
         np.asarray(gamma, np.float64)
         if isinstance(gamma, (int, float, np.ndarray, np.floating))
         else gamma, jnp.float64,
     ).reshape(-1)
+    if gamma_lo is not None:
+        g64 = g64 + jnp.asarray(gamma_lo, jnp.float64).reshape(-1)
+    if kappa_lo is not None:
+        kappa = jnp.asarray(kappa, jnp.float64) + jnp.asarray(
+            kappa_lo, jnp.float64)
     x64 = jnp.asarray(x, jnp.float64)
     y64 = jnp.asarray(y, jnp.float64)
     sq = jnp.sum(((x64[:, None, :] - y64[None, :, :]) / g64) ** 2, axis=-1)
@@ -453,7 +478,8 @@ def _f64_reference(x, y, gamma, kappa, family, nu):
 
 
 def gram_df(x, y, gamma, kappa=1.0, *, family="se", nu=1.5,
-            block_m=256, block_n=256, interpret=None):
+            block_m=256, block_n=256, interpret=None,
+            gamma_lo=None, kappa_lo=None):
     """Double-float Gram: returns (hi, lo) f32 arrays with
     hi + lo = k(x, y) to ~1e-9 relative.
 
@@ -462,6 +488,12 @@ def gram_df(x, y, gamma, kappa=1.0, *, family="se", nu=1.5,
     gamma may be a scalar or per-dim (ARD) array. On non-TPU backends with
     x64 enabled this falls back to an exact f64 computation split into
     (hi, lo) — same contract, used by the CPU test-suite.
+
+    gamma_lo / kappa_lo: optional f32 lo limbs restoring the f64 meaning
+    of TRACED hyperparameters (γ = γ_hi + γ_lo). Without them a traced γ
+    is interpreted at its f32-rounded value — a δγ ≈ 2e-8 semantic shift
+    for f32-inexact values like 1.1, whose max abs entry error peaks at
+    t = 1+√3 (see _df_inv_pair / benchmarks/exp_r4_anomaly.py).
     """
     if family == "matern" and nu not in (0.5, 1.5, 2.5):
         raise NotImplementedError(
@@ -481,15 +513,27 @@ def gram_df(x, y, gamma, kappa=1.0, *, family="se", nu=1.5,
     if (not on_tpu) and (not interpret) and not jax.config.jax_enable_x64:
         interpret = True  # CPU f32: exercise the actual kernel, interpreted
     if (not on_tpu) and jax.config.jax_enable_x64 and not interpret:
-        return _f64_reference(x, y, gamma, kappa, family, nu)
+        return _f64_reference(x, y, gamma, kappa, family, nu,
+                              gamma_lo=gamma_lo, kappa_lo=kappa_lo)
 
     # concrete host parameters keep their f64 meaning: split 1/γ and κ in
     # f64 on host; traced parameters fall back to f32-rounded semantics
     if isinstance(gamma, (int, float, np.ndarray, np.floating)):
         g64 = np.broadcast_to(np.asarray(gamma, np.float64).reshape(-1), (d,))
         inv64 = 1.0 / g64
-        ih = jnp.asarray(inv64.astype(np.float32))
-        il = jnp.asarray((inv64 - ih).astype(np.float32))
+        # split ENTIRELY in numpy f64: mixing a numpy f64 with a jnp f32
+        # array here promotes the subtraction to f32 under the TPU's
+        # default (x64-off) dtype rules and silently ZEROES the lo limb —
+        # the 1.8e-8 "matern anomaly" of r3 (every f32-inexact γ shifted
+        # the represented kernel to k(x·f32(1/γ)); peak abs entry error
+        # δγ·t²(1+t)e^{-t}/3 at t = 1+√3, benchmarks/exp_r4_anomaly.py)
+        ih_np = inv64.astype(np.float32)
+        il_np = (inv64 - ih_np.astype(np.float64)).astype(np.float32)
+        ih, il = jnp.asarray(ih_np), jnp.asarray(il_np)
+    elif gamma_lo is not None:
+        gl = jnp.broadcast_to(
+            jnp.asarray(gamma_lo, jnp.float32).reshape(-1), (d,))
+        ih, il = _df_inv_pair(g, gl)
     else:
         ih, il = _df_inv(g)
     xh, xl = _df_scale_coords(x.astype(jnp.float32), ih, il)
@@ -501,10 +545,10 @@ def gram_df(x, y, gamma, kappa=1.0, *, family="se", nu=1.5,
             np.array([[kh, np.float32(k64 - np.float64(kh))]], np.float32)
         )
     else:
-        kap = jnp.asarray(kappa, jnp.float32)
-        kappa_df = jnp.stack(
-            [kap, jnp.zeros((), jnp.float32)]
-        ).reshape(1, 2)
+        kap = jnp.asarray(kappa, jnp.float32).reshape(())
+        kap_lo = (jnp.asarray(kappa_lo, jnp.float32).reshape(())
+                  if kappa_lo is not None else jnp.zeros((), jnp.float32))
+        kappa_df = jnp.stack([kap, kap_lo]).reshape(1, 2)
     if d > DF_MAX_D:
         return _gram_df_hlo(xh, xl, yh, yl, kappa_df, family=family, nu=nu)
     return _gram_df_pallas(

@@ -239,3 +239,67 @@ def test_df_gram_entry_accuracy_hlo_f32():
         got = np.asarray(Kh, np.float64) + np.asarray(Kl, np.float64)
         err = np.max(np.abs(got - ref(fam, nu, g)))
         assert err < 5e-10, (fam, nu, err)
+
+
+def test_gamma_lo_restores_f64_meaning():
+    """The r3 'matern anomaly' regression (benchmarks/exp_r4_anomaly.py):
+    an f32-inexact γ (1.1) evaluated at f32-rounded semantics shifts df
+    Gram entries by δγ·t²(1+t)e^{-t}/3 — worst ~1.3e-8 at t = 1+√3. The
+    gamma_lo limb (df reciprocal of the (hi, lo) pair) must restore the
+    f64 meaning to the kernel's own ~1e-10 floor. Runs the REAL Pallas
+    kernel in interpret mode (f32 semantics) on CPU."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stpy_tpu.ops.pallas_gram_df import gram_df
+
+    G, NU = 1.1, 2.5
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (192, 4)).astype(np.float32).astype(np.float64)
+    y = rng.uniform(-1, 1, (160, 4)).astype(np.float32).astype(np.float64)
+    sq = (((x[:, None, :] - y[None, :, :]) / G) ** 2).sum(-1)
+    t = np.sqrt(2 * NU * sq)
+    ref = (1 + t + t * t / 3) * np.exp(-t)
+
+    gh = jnp.asarray(np.float32(G))
+    gl = jnp.asarray(np.float32(np.float64(G) - np.float64(np.float32(G))))
+    args = (jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32), gh)
+    Kh, Kl = gram_df(*args, family="matern", nu=NU, interpret=True)
+    err_no_lo = np.max(np.abs(
+        np.asarray(Kh, np.float64) + np.asarray(Kl, np.float64) - ref))
+    Kh, Kl = gram_df(*args, family="matern", nu=NU, interpret=True,
+                     gamma_lo=gl)
+    err_lo = np.max(np.abs(
+        np.asarray(Kh, np.float64) + np.asarray(Kl, np.float64) - ref))
+    # without the limb: the predicted f32-γ semantic shift; with it: floor
+    assert err_no_lo > 3e-9, err_no_lo
+    assert err_lo < 1e-9, err_lo
+
+
+def test_params_with_lo_value_keyed():
+    """Lo shadows restore γ − f32(γ) only while the stored value IS the
+    rounding of the construction-time value; hyperopt overwrites
+    invalidate them (the fitted value then means exactly its f32 self)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stpy_tpu.kernels import KernelFunction
+
+    G = 1.1
+    k = KernelFunction(kernel_name="matern", gamma=G, nu=2.5, d=4)
+    # simulate TPU f32 storage (tests run x64, where no shadow is needed)
+    k.params_dict["0"]["gamma"] = jnp.asarray(np.float32(G), jnp.float32)
+    k._params_lo = {}
+    k._record_lo("0", "gamma", G)
+    lo = k.lo_limbs("0")["gamma"]
+    assert lo is not None
+    assert np.allclose(np.asarray(lo, np.float64),
+                       np.float64(G) - np.float64(np.float32(G)))
+    aug = k.params_with_lo()
+    assert "gamma__lo" in aug["0"] and "kappa__lo" in aug["0"]
+    assert float(np.asarray(aug["0"]["gamma__lo"]).reshape(-1)[0]) != 0.0
+    # overwrite (hyperopt write-back) -> shadow invalid -> zero limb
+    k.params_dict["0"]["gamma"] = jnp.asarray(np.float32(0.9), jnp.float32)
+    assert k.lo_limbs("0")["gamma"] is None
+    assert float(np.asarray(
+        k.params_with_lo()["0"]["gamma__lo"]).reshape(-1)[0]) == 0.0
