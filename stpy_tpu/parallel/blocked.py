@@ -146,86 +146,114 @@ def _panel_size(nl: int, nb: int) -> int:
     return nl // q
 
 
-def chol_panels_sharded(mesh: Mesh, axis: str, np_: int, nb: int):
-    """shard_map right-looking panel Cholesky with EXPLICIT O(n²/p) local
-    state — the capacity workhorse (VERDICT r2 item 3).
+def panel_step_strips(mesh: Mesh, axis: str, np_: int, nbe: int):
+    """One donated panel step of the strip-held right-looking Cholesky —
+    the capacity workhorse (VERDICT r2 item 3, r3 task 6).
 
-    Why not GSPMD: expressing the recursion on the global array and
-    constraining shardings (`_chol_rec_sharded`) leaves the partitioner free
-    to replicate intermediates, and it does — measured ~n² temp per device
-    at n=16k (exp_dist_capacity.py), defeating the point of the distributed
-    path. Here each device owns its (n/p, n) row block, and per panel j:
+    The matrix lives as k = np_/nbe SEPARATE column strips, each (np_, nbe)
+    row-sharded P(axis, None). The factorization is a HOST loop of k calls
+    to the one compiled program returned here, with the strip tuple DONATED
+    each call: XLA aliases every input strip to its output (in-place at the
+    buffer level), so per-device peak is n²/p (the strips) + the (np_, nbe)
+    gathered panel + small workspace — measured 260 MB/device at n=16k p=8
+    vs 341 MB for the single-jit in-place fori_loop variant (whose loop
+    carry and program output are separate buffers; CPU and TPU buffer
+    assignment both decline to alias a while-carry to a program output) and
+    457 MB for the r3 (K, L) two-buffer version (exp_dist_capacity.py).
 
-      * the (nb, nb) diagonal block is psum-broadcast from its owner and
-        factorized redundantly (nb³ ≪ communication cost);
-      * the panel solve is a row-local (n/p, nb) GEMM;
-      * the trailing update K_local −= W_local · W_fullᵀ all-gathers ONE
-        (n, nb) panel — n² floats over the whole factorization, one ring
-        pass of the matrix, freed each iteration.
+    Why the step is correct with a TRACED panel index j (one compile, not
+    k): the gathered panel W_full is strict-below masked — zero at every
+    global row < (j+1)·nbe — so `strip_r − Wb @ W_full[r-block]ᵀ` is an
+    exact no-op for every finished strip r ≤ j, and the unmasked update of
+    ALL strips needs no per-j program. Strip j itself is then swapped for
+    the finished L column via a where on (r == j). Each strip is written
+    as the fully-masked column (zeros above the diagonal block), so the
+    final strips ARE clean L columns — no stale upper triangle, no final
+    mask pass.
 
-    Per-device peak = 2·n²/p (K_local + L_local) + n·nb transient. FLOPs
-    are the masked-variant n³ (3x optimal): on this path HBM capacity is
-    the binding constraint, not MXU time; use factorization="rec" when the
-    problem fits.
+    Per panel j the communication is one (np_, nbe) all-gather — n² floats
+    over the whole factorization, one ring pass of the matrix. The diagonal
+    (nbe, nbe) block is psum-broadcast from its owner and factorized
+    redundantly (nbe³ ≪ communication). FLOPs are the masked-variant n³
+    (3x optimal): on this path HBM capacity is the binding constraint, not
+    MXU time; use factorization="rec" when the problem fits. The k host
+    dispatches cost ~31 ms each through the tunnel (k=16 at n=16k ⇒
+    ~0.5 s) — noise against the factorization itself at capacity sizes.
     """
     p = mesh.shape[axis]
     nl = np_ // p
-    nbe = _panel_size(nl, nb)
     k_panels = np_ // nbe
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(axis, None),), out_specs=P(axis, None),
+        in_specs=(P(axis, None),) * k_panels + (P(),),
+        out_specs=(P(axis, None),) * k_panels,
         check_vma=False,
     )
-    def chol_local(K_local):
+    def step_local(*args):
+        S, j = args[:-1], args[-1]
         i = jax.lax.axis_index(axis)
         row0 = (i * nl).astype(jnp.int32)
         grows = row0 + jnp.arange(nl)
-
-        def body(j, carry):
-            K_loc, L_loc = carry
-            c0 = (j * nbe).astype(jnp.int32)
-            C = jax.lax.dynamic_slice(K_loc, (jnp.int32(0), c0), (nl, nbe))
-            owner = (c0 >= row0) & (c0 + nbe <= row0 + nl)
-            off = jnp.clip(c0 - row0, 0, nl - nbe).astype(jnp.int32)
-            cand = jax.lax.dynamic_slice(C, (off, jnp.int32(0)), (nbe, nbe))
-            Ajj = jax.lax.psum(
-                jnp.where(owner, cand, jnp.zeros_like(cand)), axis
-            )
-            Ljj = jnp.linalg.cholesky(Ajj)
-            W = jax.scipy.linalg.solve_triangular(Ljj, C.T, lower=True).T
-            below = (grows >= c0 + nbe)[:, None]
-            Wb = jnp.where(below, W, 0.0)
-            Lcol = Wb + jax.lax.dynamic_update_slice(
-                jnp.zeros((nl, nbe), K_loc.dtype),
-                jnp.where(owner, Ljj, jnp.zeros_like(Ljj)),
-                (off, jnp.int32(0)),
-            )
-            L_loc = jax.lax.dynamic_update_slice(L_loc, Lcol, (jnp.int32(0), c0))
-            W_full = jax.lax.all_gather(Wb, axis, axis=0, tiled=True)
-            K_loc = K_loc - Wb @ W_full.T
-            return K_loc, L_loc
-
-        _, L_local = jax.lax.fori_loop(
-            0, k_panels, body, (K_local, jnp.zeros_like(K_local))
+        c0 = (j * nbe).astype(jnp.int32)
+        # select the active strip by traced j — serialized via a barrier
+        # on the scalar predicate so the k masked reads chain instead of
+        # tree-scheduling k concurrent (nl, nbe) products
+        C = S[0] * (j == 0)
+        for r in range(1, k_panels):
+            pr, C = jax.lax.optimization_barrier((j == r, C))
+            C = C + S[r] * pr
+        owner = (c0 >= row0) & (c0 + nbe <= row0 + nl)
+        off = jnp.clip(c0 - row0, 0, nl - nbe).astype(jnp.int32)
+        cand = jax.lax.dynamic_slice(C, (off, jnp.int32(0)), (nbe, nbe))
+        Ajj = jax.lax.psum(
+            jnp.where(owner, cand, jnp.zeros_like(cand)), axis
         )
-        return L_local
+        Ljj = jnp.linalg.cholesky(Ajj)
+        W = jax.scipy.linalg.solve_triangular(Ljj, C.T, lower=True).T
+        below = (grows >= c0 + nbe)[:, None]
+        Wb = jnp.where(below, W, 0.0)
+        Lcol = Wb + jax.lax.dynamic_update_slice(
+            jnp.zeros((nl, nbe), C.dtype),
+            jnp.where(owner, Ljj, jnp.zeros_like(Ljj)),
+            (off, jnp.int32(0)),
+        )
+        W_full = jax.lax.all_gather(Wb, axis, axis=0, tiled=True)
+        out = []
+        for r in range(k_panels):
+            Wf_r = W_full[r * nbe:(r + 1) * nbe]
+            upd = S[r] - Wb @ Wf_r.T          # exact no-op for r <= j
+            out.append(jnp.where(j == r, Lcol, upd))
+        return tuple(out)
 
-    return chol_local, nbe
+    def step(strips, j):
+        return step_local(*strips, jnp.asarray(j, jnp.int32))
+
+    return jax.jit(step, donate_argnums=0), k_panels
 
 
-def solve_panels_sharded(mesh: Mesh, axis: str, np_: int, nbe: int,
+def solve_strips_sharded(mesh: Mesh, axis: str, np_: int, nbe: int,
                          transpose: bool = False):
-    """Panel-sequential triangular solve against a row-sharded factor:
+    """Panel-sequential triangular solve against a strip-held factor:
     L X = B (or Lᵀ X = B), B and X REPLICATED (np_, t) — O(n·t + n²/p)
     per-device memory, no full-matrix TriangularSolve (which XLA would
-    replicate, see exp_dist_capacity).
+    replicate, see exp_dist_capacity). The panel loop is a fori_loop with
+    the active strip selected by a masked sum over the tuple — NOT
+    trace-time unrolled: with an unrolled loop XLA hoists all k(k+1)/2
+    (nbe, nbe) strip slices to the program start (they depend only on the
+    loop-invariant strips), materializing them CONCURRENTLY — measured
+    548 MB temp at n=16k where the loop-carried form needs ~70 MB. The
+    masked selection re-reads the strips once per panel (k·n²/p HBM
+    traffic per device per solve, ~2 GB at n=16k — milliseconds at HBM
+    rate, irrelevant next to the factorization).
 
-    Forward: X_j = Ljj⁻¹ (B_j − L[j, :] X·1[cols<j·nb]) with the row strip
-    local to the owner, psum-broadcast per panel. Backward (transpose):
-    the column strip below the panel is distributed, so the contraction
-    Σ_r L[r, j]ᵀ X_r is a per-device partial GEMM + psum.
+    Forward: X_j = Ljj⁻¹ (B_j − Σ_r L[j-block, r-block] X_r) with the row
+    blocks local to the panel owner, psum-broadcast per panel; X rows ≥
+    the panel are still zero in the forward sweep, so the unmasked sum
+    over ALL r is exact. Backward (transpose): the column strip below the
+    panel is distributed, so the contraction Σ L[:, j-block]ᵀ X is a
+    per-device partial GEMM + psum; X rows ≤ the panel are still zero in
+    the backward sweep, so the unmasked local contraction is exact.
     """
     p = mesh.shape[axis]
     nl = np_ // p
@@ -233,31 +261,45 @@ def solve_panels_sharded(mesh: Mesh, axis: str, np_: int, nbe: int,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P()), out_specs=P(),
+        in_specs=(P(axis, None),) * k_panels + (P(),),
+        out_specs=P(),
         check_vma=False,
     )
-    def solve_local(L_local, B):
+    def solve_local(*args):
+        S, B = args[:-1], args[-1]
         i = jax.lax.axis_index(axis)
         row0 = (i * nl).astype(jnp.int32)
-        grows = row0 + jnp.arange(nl)
         t = B.shape[1]
 
         def fwd_body(j, X):
             c0 = (j * nbe).astype(jnp.int32)
             owner = (c0 >= row0) & (c0 + nbe <= row0 + nl)
             off = jnp.clip(c0 - row0, 0, nl - nbe).astype(jnp.int32)
-            strip = jax.lax.dynamic_slice(L_local, (off, jnp.int32(0)), (nbe, np_))
-            Ljj = jax.lax.dynamic_slice(strip, (jnp.int32(0), c0), (nbe, nbe))
+            acc = jnp.zeros((nbe, t), B.dtype)
+            Ljj = jnp.zeros((nbe, nbe), B.dtype)
+            for r in range(k_panels):
+                # barrier-gate each strip read on the running accumulator
+                # (via the SCALAR offset — gating the strip itself makes
+                # XLA copy it): without this the scheduler hoists all k
+                # (nbe, nbe) row blocks (and their products) to the top of
+                # the body and holds them CONCURRENTLY — measured 188 MB
+                # body temp at n=16k vs ~20 MB for the serialized chain.
+                # Ljj rides the same serialized blk (a separate masked-sum
+                # over the strips gets tree-scheduled: 132 MB, measured)
+                off_r, acc, Ljj = jax.lax.optimization_barrier(
+                    (off, acc, Ljj))
+                blk = jax.lax.dynamic_slice(
+                    S[r], (off_r, jnp.int32(0)), (nbe, nbe))
+                acc = acc + blk @ jax.lax.dynamic_slice(
+                    X, (jnp.int32(r * nbe), jnp.int32(0)), (nbe, t))
+                Ljj = Ljj + blk * (j == r)
             rhs = jax.lax.dynamic_slice(B, (c0, jnp.int32(0)), (nbe, t))
-            # columns < c0 of the strip already hold final L; X rows >= c0
-            # are still zero, so the full-width GEMM needs no masking
-            acc = strip @ X
+            # acc includes blk_j @ X_j and later blocks, but X rows >= c0
+            # are still zero — exact
             Xj = jax.scipy.linalg.solve_triangular(
-                Ljj, rhs - acc, lower=not transpose
-            )
+                Ljj, rhs - acc, lower=True)
             Xj = jax.lax.psum(
-                jnp.where(owner, Xj, jnp.zeros_like(Xj)), axis
-            )
+                jnp.where(owner, Xj, jnp.zeros_like(Xj)), axis)
             return jax.lax.dynamic_update_slice(X, Xj, (c0, jnp.int32(0)))
 
         def bwd_body(jj, X):
@@ -265,29 +307,27 @@ def solve_panels_sharded(mesh: Mesh, axis: str, np_: int, nbe: int,
             c0 = (j * nbe).astype(jnp.int32)
             owner = (c0 >= row0) & (c0 + nbe <= row0 + nl)
             off = jnp.clip(c0 - row0, 0, nl - nbe).astype(jnp.int32)
-            col = jax.lax.dynamic_slice(L_local, (jnp.int32(0), c0), (nl, nbe))
-            # rows strictly below the panel (distributed): partial + psum.
-            # X rows <= c0+nbe are still zero in the backward sweep, so the
-            # unmasked local contraction is exact
+            col = S[0] * (j == 0)
+            for r in range(1, k_panels):
+                col = col + S[r] * (j == r)
             Xl = jax.lax.dynamic_slice(X, (row0, jnp.int32(0)), (nl, t))
-            part = col.T @ Xl
-            acc = jax.lax.psum(part, axis)
+            acc = jax.lax.psum(col.T @ Xl, axis)
             Ljj = jax.lax.dynamic_slice(col, (off, jnp.int32(0)), (nbe, nbe))
             Ljj = jax.lax.psum(
-                jnp.where(owner, Ljj, jnp.zeros_like(Ljj)), axis
-            )
+                jnp.where(owner, Ljj, jnp.zeros_like(Ljj)), axis)
             rhs = jax.lax.dynamic_slice(B, (c0, jnp.int32(0)), (nbe, t))
             Xj = jax.scipy.linalg.solve_triangular(
-                Ljj.T, rhs - acc, lower=False
-            )
+                Ljj.T, rhs - acc, lower=False)
             return jax.lax.dynamic_update_slice(X, Xj, (c0, jnp.int32(0)))
 
         X0 = jnp.zeros((np_, t), B.dtype)
-        if transpose:
-            return jax.lax.fori_loop(0, k_panels, bwd_body, X0)
-        return jax.lax.fori_loop(0, k_panels, fwd_body, X0)
+        body = bwd_body if transpose else fwd_body
+        return jax.lax.fori_loop(0, k_panels, body, X0)
 
-    return solve_local
+    def solve(strips, B):
+        return solve_local(*strips, B)
+
+    return solve
 
 
 def _pad_spd(K: jnp.ndarray, nb: int):
@@ -408,27 +448,75 @@ class DistributedExactGP:
 
         return build_rows
 
+    def _build_gram_strips(self, n: int, np_: int, nbe: int):
+        """shard_map Gram builder emitting k = np_/nbe column strips, each
+        (np_/p, nbe) per device — the strip-held twin of `_build_gram_rows`
+        (same O(n²/p) per-device peak; the strips land directly in the
+        buffers the donated factor steps then update in place). Padding
+        rows/cols (index ≥ n) are zeroed with a unit diagonal."""
+        kernel = self.kernel_object
+        params = self.kernel_object.params_dict
+        axis = self.axis
+        s2 = self.s ** 2
+        k_panels = np_ // nbe
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P(axis, None),),
+            out_specs=(P(axis, None),) * k_panels,
+            check_vma=False,
+        )
+        def build_strips(x_local):
+            x_all = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+            i = jax.lax.axis_index(axis)
+            nl = x_local.shape[0]
+            grows = i * nl + jnp.arange(nl)
+            diagval = jnp.where(grows >= n, 1.0, s2) if np_ != n else s2
+            outs = []
+            for r in range(k_panels):
+                gcols = r * nbe + jnp.arange(nbe)
+                Kb = kernel.eval_params(params, x_local, x_all[r * nbe:(r + 1) * nbe])
+                if np_ != n:
+                    Kb = jnp.where(
+                        (grows >= n)[:, None] | (gcols >= n)[None, :],
+                        0.0, Kb)
+                eq = (grows[:, None] == gcols[None, :]).astype(Kb.dtype)
+                outs.append(Kb + eq * diagval)
+            return tuple(outs)
+
+        return build_strips
+
+    def _panel_stages(self, n: int, np_: int):
+        """The four compiled stages of the strip-held panels fit — build,
+        donated factor step, fwd+bwd solve — exposed separately so capacity
+        experiments can `.lower().compile()` each and report the max-stage
+        `memory_analysis()` (exp_dist_capacity; the fit is k+2 dispatches,
+        not one program, so per-device peak is the max stage)."""
+        mesh, axis, nb = self.mesh, self.axis, self.nb
+        p = mesh.shape[axis]
+        # cap the panel width at ~np_/16 so the (np_, nbe) all-gather
+        # transient stays a small fraction of the n²/p strips at every n
+        # (at nbe = n/8 the gather alone equals the strips); floor of 128
+        # keeps the MXU tiles efficient. More panels = more ~31 ms host
+        # dispatches — noise on this capacity path.
+        nbe = _panel_size(np_ // p, min(nb, max(128, np_ // 16)))
+        build = jax.jit(self._build_gram_strips(n, np_, nbe))
+        step, k_panels = panel_step_strips(mesh, axis, np_, nbe)
+        fwd = solve_strips_sharded(mesh, axis, np_, nbe)
+        bwd = solve_strips_sharded(mesh, axis, np_, nbe, transpose=True)
+
+        def solve_y(strips, yr):
+            ypad = jnp.pad(yr, ((0, np_ - n), (0, 0)))
+            return bwd(strips, fwd(strips, ypad))
+
+        return build, step, k_panels, jax.jit(solve_y), fwd, nbe
+
     def _make_fit_fn(self, n: int, np_: int):
         """Jitted (x_sharded, y) -> (L, alpha_padded) for a fixed problem
-        size — exposed so capacity experiments can `.lower().compile()` it
-        and read `memory_analysis()` without running (exp_dist_capacity)."""
+        size (rec/masked factorizations — the panels path is host-stepped,
+        see `_panel_stages`)."""
         nb = self.nb
         build_rows = self._build_gram_rows(n, np_)
-        mesh, axis = self.mesh, self.axis
-
-        if self.factorization == "panels":
-            chol_local, nbe = chol_panels_sharded(mesh, axis, np_, nb)
-            self._nbe = nbe
-            fwd = solve_panels_sharded(mesh, axis, np_, nbe)
-            bwd = solve_panels_sharded(mesh, axis, np_, nbe, transpose=True)
-
-            def build_and_factor(xs, yr):
-                Kp = build_rows(xs)
-                L = chol_local(Kp)
-                ypad = jnp.pad(yr, ((0, np_ - n), (0, 0)))
-                return L, bwd(L, fwd(L, ypad))
-
-            return jax.jit(build_and_factor)
 
         def build_and_factor(xs, yr):
             Kp = build_rows(xs)
@@ -461,14 +549,26 @@ class DistributedExactGP:
         x_sh = jax.device_put(x_pad, self._spec)
         y_rep = jax.device_put(y, self._rep)
 
-        # jit cache keyed by shape: the fit fn closes over (n, np_), so
-        # refits at a new n need a fresh closure; same n reuses the
-        # compiled program
+        # jit cache keyed by shape: the fit programs close over (n, np_),
+        # so refits at a new n need fresh closures; same n reuses the
+        # compiled programs
         if not hasattr(self, "_fit_cache"):
             self._fit_cache = {}
-        if (n, np_) not in self._fit_cache:
-            self._fit_cache[(n, np_)] = self._make_fit_fn(n, np_)
-        self.L, alpha = self._fit_cache[(n, np_)](x_sh, y_rep)
+        if self.factorization == "panels":
+            if (n, np_) not in self._fit_cache:
+                self._fit_cache[(n, np_)] = self._panel_stages(n, np_)
+            build, step, k_panels, solve_y, fwd, nbe = \
+                self._fit_cache[(n, np_)]
+            self._nbe, self._fwd = nbe, fwd
+            strips = build(x_sh)
+            for j in range(k_panels):        # donated: in-place at buffer level
+                strips = step(strips, j)
+            self.L = strips                   # tuple of (np_, nbe) L columns
+            alpha = solve_y(strips, y_rep)
+        else:
+            if (n, np_) not in self._fit_cache:
+                self._fit_cache[(n, np_)] = self._make_fit_fn(n, np_)
+            self.L, alpha = self._fit_cache[(n, np_)](x_sh, y_rep)
         self.alpha = alpha[:n]
         self.x, self.y, self.n = x_sh, y_rep, n
         self._np = np_
@@ -496,7 +596,7 @@ class DistributedExactGP:
             return jnp.where((grows >= n)[:, None], 0.0, Ks_l)
 
         if self.factorization == "panels":
-            fwd = solve_panels_sharded(self.mesh, axis, np_, self._nbe)
+            fwd = self._fwd
 
             def vsolve(L, Ksp):
                 return fwd(L, Ksp)

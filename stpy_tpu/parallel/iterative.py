@@ -110,6 +110,23 @@ def cg_solve_block(matmat, B, M_inv=None, tol=1e-8, maxiter=1000):
     return x, it
 
 
+def resolve_precond_rank(rank, n: int) -> int:
+    """Resolve a `precond_rank` setting ("auto" or int) for an n-point fit.
+
+    The auto schedule is the measured rank-vs-iterations table from the
+    r3 65k study (benchmarks/RESULTS.md "rank-monotone" row): n ≤ 16,384
+    runs unpreconditioned (every 16k benchmark converges without one —
+    building a rank-r preconditioner there only adds an O(n·r) setup), and
+    larger n gets the shipped rank-512 Rayleigh-Nyström construction
+    (65,536-point sum-kernel PCG: 96 iterations to ≤8e-7 where
+    unpreconditioned CG stalls at 4.7e-2; rank 2048/4096 converge in
+    37/30 iterations but cost 4-8x the setup and memory — 512 is the knee
+    of wall-clock at this scale)."""
+    if rank != "auto":
+        return int(rank)
+    return 0 if n <= 16384 else 512
+
+
 def pivoted_cholesky_kernel(kernel_object, x, rank, params_dict=None):
     """Partial pivoted Cholesky of the kernel Gram, MATRIX-FREE: returns
     Lm of shape (rank, n) with K ≈ Lmᵀ Lm using only `rank` kernel COLUMN
@@ -338,7 +355,7 @@ class IterativeGP:
 
     def __init__(self, kernel_object, s=0.1, mesh=None, axis="tp",
                  tol=1e-6, maxiter=500, lazy=False,
-                 chunk=2048, precond_rank=0, precision="single",
+                 chunk=2048, precond_rank="auto", precision="single",
                  df_refine_steps=2, df_chunk=4096):
         self.kernel_object = kernel_object
         self.s = s
@@ -348,12 +365,15 @@ class IterativeGP:
         self.maxiter = maxiter
         self.lazy = lazy
         self.chunk = chunk  # row-chunk of the general (any-kernel) matvec
-        # precond_rank > 0: rank-r pivoted-Cholesky preconditioner on the
-        # lazy path (the mesh path uses block-Jacobi). Ill-conditioned
-        # large-n systems (small noise, long lengthscales) need it: at
-        # n=65k/s=0.2 the unpreconditioned CG stalls at 4.7e-2 residual in
-        # 400 iterations (exp_r3_batch_a a3).
-        self.precond_rank = int(precond_rank)
+        # precond_rank: rank-r Rayleigh-Nyström preconditioner on the lazy
+        # single-chip path (the mesh path uses block-Jacobi).
+        # Ill-conditioned large-n systems (small noise, long lengthscales)
+        # need it: at n=65k/s=0.2 the unpreconditioned CG stalls at 4.7e-2
+        # residual in 400 iterations (exp_r3_batch_a a3). Default "auto"
+        # resolves per fit size (resolve_precond_rank) so the constructor
+        # defaults converge at 65k without the user knowing the machinery
+        # (VERDICT r3 task 8); pass an int (0 disables) to override.
+        self.precond_rank = precond_rank
         # precision="double": extend the dense tier's double-float story
         # beyond HBM — after the f32 PCG solve, run iterative refinement
         # with EXACT df residuals computed by a row-chunked (hi, lo)
@@ -450,27 +470,32 @@ class IterativeGP:
 
     def _matvec_factory(self, x):
         """Row-sharded (K + σ²I) v matvec. With a mesh: shard_map over row
-        blocks; without: plain dense matvec."""
+        blocks; without: plain dense matvec. Also builds the block-RHS
+        companion `self._matmat` for every tier, so `mean_std`'s exact
+        variance runs one 128-column block CG per chunk instead of one CG
+        per test point (VERDICT r3 task 8)."""
         ko = self.kernel_object
         n = x.shape[0]
         s2 = self.s**2
+        rank = resolve_precond_rank(self.precond_rank, n)
 
         if self.lazy and self.mesh is None:
+            self._matmat = self._lazy_matmat(x)
             M_inv = None
-            if self.precond_rank > 0:
+            if rank > 0:
                 # landmark-sketch Rayleigh EVD: landmark Gram columns give
                 # the coverage a Gaussian sketch of equal rank lacks on
                 # slow-decay spectra, and the Rayleigh compression gives
                 # eigenvalues the inverse-based Nyström lift cannot —
                 # see rayleigh_nystrom_precond's docstring for the
                 # measured failure ladder (r3 batches A/C4/H/H2/K/L).
-                r = int(min(self.precond_rank, x.shape[0]))
+                r = int(min(rank, x.shape[0]))
                 idx = jax.random.choice(
                     jax.random.fold_in(jax.random.PRNGKey(0), 7),
                     x.shape[0], (r,), replace=False)
                 C = ko.eval_params(ko.params_dict, x, x[idx])
                 M_inv = rayleigh_nystrom_precond(
-                    C, self._lazy_matmat(x), self.s)
+                    C, self._matmat, self.s)
             return self._lazy_matvec_or_none(x), M_inv
 
         if self.lazy and self.mesh is not None:
@@ -485,24 +510,31 @@ class IterativeGP:
             # chose lazy to avoid. Parity: stpy/kernels.py:76-94,136-159
             # at mesh scale (r3).
             from stpy_tpu.parallel.lazy_kernel import (
-                atom_params, fast_atoms, make_chunked_matvec_sharded,
+                atom_params, fast_atoms, make_chunked_matmat_sharded,
+                make_chunked_matvec_sharded, make_sum_matmat_sharded,
                 make_sum_matvec_sharded,
             )
 
             atoms = fast_atoms(ko)
             if atoms is not None:
                 gk = [atom_params(ko, a) for a in atoms]
+                gs, ks = [g for g, _ in gk], [k for _, k in gk]
                 mv = make_sum_matvec_sharded(
-                    x, self.mesh, self.axis, atoms,
-                    [g for g, _ in gk], [k for _, k in gk], noise=self.s)
+                    x, self.mesh, self.axis, atoms, gs, ks, noise=self.s)
+                self._matmat = make_sum_matmat_sharded(
+                    x, self.mesh, self.axis, atoms, gs, ks, noise=self.s)
             else:
                 mv = make_chunked_matvec_sharded(
+                    ko, x, self.mesh, self.axis, noise=self.s,
+                    chunk=self.chunk)
+                self._matmat = make_chunked_matmat_sharded(
                     ko, x, self.mesh, self.axis, noise=self.s,
                     chunk=self.chunk)
             return mv, None
 
         if self.mesh is None:
             K = ko.gram(x) + s2 * jnp.eye(n, dtype=x.dtype)
+            self._matmat = lambda V: K @ V
             return lambda v: K @ v, None
 
         mesh, axis = self.mesh, self.axis
@@ -539,6 +571,16 @@ class IterativeGP:
         def matvec(v):
             return matvec_sharded(K_rows, v.reshape(-1, 1))
 
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(axis, None), P()), out_specs=P(axis, None),
+            check_vma=False,
+        )
+        def matmat_sharded(K_local, V):
+            return K_local @ V
+
+        self._matmat = lambda V: matmat_sharded(K_rows, V)
+
         # block-Jacobi preconditioner: per-device diagonal block factor
         @functools.partial(
             jax.shard_map, mesh=mesh,
@@ -568,8 +610,24 @@ class IterativeGP:
             )
             return cho_solve(L_local, r_local.reshape(-1, 1)).ravel()
 
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(axis, None), P()), out_specs=P(axis, None),
+            check_vma=False,
+        )
+        def precond_sharded_block(L_local, R):
+            i = jax.lax.axis_index(axis)
+            nb = L_local.shape[0]
+            R_local = jax.lax.dynamic_slice(
+                R, (i.astype(jnp.int32) * nb, jnp.int32(0)),
+                (nb, R.shape[1])
+            )
+            return cho_solve(L_local, R_local)
+
         def M_inv(r):
             return precond_sharded(L_blocks, r)
+
+        self._M_inv_block = lambda R: precond_sharded_block(L_blocks, R)
 
         return matvec, M_inv
 
@@ -605,6 +663,11 @@ class IterativeGP:
         ko = self.kernel_object
         dt = jnp.asarray(self.y).dtype
         yv = jnp.asarray(self.y).reshape(-1)
+        # the evidence fit inherits the estimator's auto-resolved
+        # preconditioner rank (65k+ fits stall without one — RESULTS.md);
+        # an explicit precond_rank kwarg still wins
+        kwargs.setdefault("precond_rank", resolve_precond_rank(
+            self.precond_rank, int(self.x.shape[0])))
         atoms = fast_atoms(ko)
 
         if atoms is not None:
@@ -784,28 +847,25 @@ class IterativeGP:
 
         M_inv = getattr(self, "_M_inv", None)
         if method == "exact":
-            if self.lazy and self.mesh is None:
-                # block CG: 128 columns per fused multi-RHS Gram pass
-                mm = self._lazy_matmat(self.x)
-                quads = []
-                B = K_star.T  # (n, t)
-                for c0 in range(0, t, 128):
-                    blk = B[:, c0:c0 + 128]
-                    sol, _ = cg_solve_block(
-                        mm, blk, M_inv=M_inv,
-                        tol=self.tol, maxiter=self.maxiter,
-                    )
-                    quads.append(jnp.sum(blk * sol, axis=0))
-                quad = jnp.concatenate(quads)
-            else:
-                def col_solve(k_col):
-                    sol, _, _ = cg_solve(
-                        self._matvec, k_col, M_inv=M_inv, tol=self.tol,
-                        maxiter=self.maxiter,
-                    )
-                    return k_col @ sol
-
-                quad = jax.vmap(col_solve)(K_star)  # rows of K_star
+            # block CG on EVERY tier: 128 columns per block product (one
+            # fused multi-RHS Gram pass on the lazy tiers, one row-sharded
+            # GEMM on the mesh tiers, one dense GEMM otherwise) — never a
+            # per-test-point vmapped CG (VERDICT r3 task 8). The block
+            # preconditioner is the Rayleigh M_inv (block-capable) on the
+            # lazy path and the block-Jacobi block apply on the dense mesh.
+            mm = self._matmat
+            M_blk = M_inv if (self.lazy and self.mesh is None) else \
+                getattr(self, "_M_inv_block", None)
+            quads = []
+            B = K_star.T  # (n, t)
+            for c0 in range(0, t, 128):
+                blk = B[:, c0:c0 + 128]
+                sol, _ = cg_solve_block(
+                    mm, blk, M_inv=M_blk,
+                    tol=self.tol, maxiter=self.maxiter,
+                )
+                quads.append(jnp.sum(blk * sol, axis=0))
+            quad = jnp.concatenate(quads)
             var = jnp.clip(kss - quad, 1e-12)
             return mu, jnp.sqrt(var)[:, None]
 

