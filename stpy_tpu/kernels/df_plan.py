@@ -4,10 +4,20 @@ Interprets a KernelFunction's static atom list into a df evaluation plan
 and evaluates the (possibly composite) df Gram — used by the dense double
 tier (`GaussianProcess(precision="double")`, models/exact_gp.py) and the
 matrix-free double tier (`IterativeGP(precision="double")`,
-parallel/iterative.py). Covers SE/ARD/Matérn(½, 3/2, 5/2)/laplace atoms
-and their `+`/`*` algebra; anything else raises — an honest capability
-boundary. Reference parity: the torch reference is float64 end-to-end for
-every kernel (stpy/continuous_processes/gauss_procc.py:152,367-399).
+parallel/iterative.py).
+
+Two tiers per atom:
+  * SE/ARD/Matérn(½, 3/2, 5/2)/laplace → the fused Pallas df Gram
+    (ops/pallas_gram_df.py), MXU speed;
+  * ANY other jnp-expressible family (gibbs, polynomial, tanh, linear,
+    step, wiener, spectral, custom, …) → the generic jaxpr df interpreter
+    (ops/df_interp.py), ~5-10x the f32 cost, pure VPU — a correctness
+    tier that closes the last capability asymmetry vs the f64 reference
+    (the torch reference is float64 end-to-end for EVERY kernel,
+    stpy/continuous_processes/gauss_procc.py:152,367-399).
+Atoms whose trace contains a primitive the interpreter has no df rule
+for (e.g. while_loop in the Bessel general-ν matern) still raise — an
+honest capability boundary, now listing the blocking primitives.
 """
 
 from __future__ import annotations
@@ -22,35 +32,51 @@ def df_atom_desc(kernel_object):
     full = list(range(ko.d))
     desc = []
     for i, atom in enumerate(ko._atoms):
-        if atom.static.get("groups") is not None:
-            raise NotImplementedError(
-                "precision='double' does not cover additive-over-groups "
-                f"atoms (got {atom.name})"
-            )
         group = atom.static.get("group")
         if group is not None and list(group) == full:
             group = None
         nu = float(atom.static.get("nu", 1.5))
         name = atom.name
-        if name == "squared_exponential":
-            fam, gkey, nu = "se", "gamma", 1.0
-        elif name == "ard":
-            fam, gkey, nu = "se", "ard_gamma", 1.0
-        elif name == "matern" and nu in (0.5, 1.5, 2.5):
-            fam, gkey = "matern", "gamma"
-        elif name == "ard_matern" and nu in (0.5, 1.5, 2.5):
-            fam, gkey = "matern", "ard_gamma"
-        elif name == "laplace":
-            fam, gkey, nu = "matern", "gamma", 0.5
-        else:
-            raise NotImplementedError(
-                "precision='double' supports SE/ARD/Matérn(½,3/2,5/2)/"
-                f"laplace atoms and their +/* algebra (got {name})"
-            )
+        fam = None
+        if atom.static.get("groups") is None:
+            if name == "squared_exponential":
+                fam, gkey, nu = "se", "gamma", 1.0
+            elif name == "ard":
+                fam, gkey, nu = "se", "ard_gamma", 1.0
+            elif name == "matern" and nu in (0.5, 1.5, 2.5):
+                fam, gkey = "matern", "gamma"
+            elif name == "ard_matern" and nu in (0.5, 1.5, 2.5):
+                fam, gkey = "matern", "ard_gamma"
+            elif name == "laplace":
+                fam, gkey, nu = "matern", "gamma", 0.5
+        if fam is None:
+            # generic jaxpr-interpreter tier: supported iff every
+            # primitive in the atom's trace has a df rule
+            missing = _generic_atom_missing(ko, i, atom)
+            if missing:
+                raise NotImplementedError(
+                    "precision='double' cannot express kernel atom "
+                    f"'{name}' in double-float: its trace contains "
+                    f"primitives with no df rule: {sorted(missing)} "
+                    "(ops/df_interp.py)"
+                )
+            fam, gkey, nu = "generic", None, 0.0
+            group = None  # generic atoms receive full inputs (the atom
+            #               fn does its own group slicing, as eval_params)
         desc.append((i, fam, nu, gkey,
                      None if group is None else tuple(group),
                      ko.operations[i]))
     return desc
+
+
+def _generic_atom_missing(kernel_object, i, atom):
+    """Primitives in atom i's trace with no df-interpreter rule."""
+    from stpy_tpu.ops.df_interp import missing_primitives
+
+    a = jnp.zeros((2, kernel_object.d), jnp.float32)
+    b = jnp.zeros((3, kernel_object.d), jnp.float32)
+    p = kernel_object.params_dict[str(i)]
+    return missing_primitives(lambda aa, bb: atom(p, aa, bb), a, b)
 
 
 def df_gram_from_desc(kernel_object, params_dict, a, b, desc):
@@ -71,6 +97,15 @@ def df_gram_from_desc(kernel_object, params_dict, a, b, desc):
     for (i, fam, nu, gkey, group, op) in desc:
         p = {**kernel_object.params_dict[str(i)],
              **params_dict.get(str(i), {})}
+        if fam == "generic":
+            Kh, Kl = _generic_df_gram(kernel_object, i, p, a, b)
+            if op == "+":
+                outh, outl = _df_add(outh, outl, Kh, Kl)
+            elif op == "*":
+                outh, outl = _df_mul(outh, outl, Kh, Kl)
+            else:
+                outh, outl = Kh, Kl
+            continue
         gamma = p[gkey]
         kappa = p.get("kappa", 1.0)
         gamma_lo = p.get(gkey + "__lo")
@@ -101,3 +136,37 @@ def df_gram_from_desc(kernel_object, params_dict, a, b, desc):
         else:
             outh, outl = Kh, Kl
     return outh, outl
+
+
+def _generic_df_gram(kernel_object, i, p, a, b):
+    """(hi, lo) Gram of one non-fused atom via the jaxpr df interpreter
+    (ops/df_interp.py).
+
+    Float hyperparameters enter as ARGUMENTS with explicit lo limbs —
+    `<key>__lo` leaves when present (params_with_lo / traced hyperopt
+    calls), else the value-keyed shadows for eager calls, the same
+    contract as the fused tier. f64 params/data (CPU x64 tests) are
+    split, not truncated, inside df_call."""
+    import jax
+
+    from stpy_tpu.ops.df_interp import df_call
+
+    atom = kernel_object._atoms[i]
+    base = {k: v for k, v in p.items() if not k.endswith("__lo")}
+    keys = sorted(base)
+    lo_shadow = {}
+    if not any(isinstance(v, jax.core.Tracer) for v in base.values()):
+        lo_shadow = kernel_object.lo_limbs(str(i))
+    los = [None, None]
+    for k in keys:
+        v = p.get(k + "__lo")
+        if v is None:
+            sv = lo_shadow.get(k)
+            v = None if sv is None else jnp.asarray(sv)
+        los.append(v)
+
+    def fn(aa, bb, *vals):
+        return atom(dict(zip(keys, vals)), aa, bb)
+
+    (pair,) = df_call(fn, [a, b] + [base[k] for k in keys], los)
+    return pair

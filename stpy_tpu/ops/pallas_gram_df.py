@@ -84,23 +84,34 @@ def _make_eft(use_barriers: bool):
     def two_sum(a, b):
         s = ob(a + b)
         v = ob(s - a)
-        e = (a - (s - v)) + (b - v)
+        e = ob((a - (s - v)) + (b - v))
         return s, e
 
     def fast_two_sum(a, b):  # requires |a| >= |b| (or a == 0)
         s = ob(a + b)
-        e = b - (s - a)
+        e = ob(b - (s - a))
         return s, e
 
     def two_prod(a, b):
         p = ob(a * b)
         ca = ob(a * _SPLIT)
         ah = ob(ca - (ca - a))
-        al = a - ah
+        # al/bl MUST be barriered too: with a and b the SAME tensor (x·x,
+        # e.g. integer_pow), CSE makes ah≡bh, al≡bl and the simplifier
+        # reassociates ah+al → a inside e, collapsing the error term
+        # (measured: df x² error 0 → 4.3e-7 abs without these barriers).
+        al = ob(a - ah)
         cb = ob(b * _SPLIT)
         bh = ob(cb - (cb - b))
-        bl = b - bh
-        e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        bl = ob(b - bh)
+        # e is ALSO barriered: a downstream consumer (fast_two_sum in
+        # df_mul) computes e' = e - (s - p); with e's expression visible
+        # the simplifier cancels the -p inside e against the +p outside,
+        # reassociating e' to (ah·bh + …) - s — algebraically equal but
+        # numerically ~ulp(a·b) garbage (measured: composed df_mul
+        # error 0 → 4.3e-7 abs). Opaque EFT outputs keep every
+        # composition hermetic.
+        e = ob(((ah * bh - p) + ah * bl + al * bh) + al * bl)
         return p, e
 
     def df_add(xh, xl, yh, yl):

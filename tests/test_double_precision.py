@@ -55,14 +55,17 @@ def test_var_refine_requires_double():
         GaussianProcess(d=1, var_refine=1)
 
 
-def test_double_mode_rejects_non_df_atoms():
+def test_double_mode_rejects_inexpressible_atoms():
+    """General-ν Matérn evaluates Bessel K_ν by quadrature — primitives
+    the generic df interpreter has no rule for. Must raise, naming them
+    (r4: the old se+linear rejection case now SUCCEEDS via the generic
+    tier — see test_double_mode_generic_*)."""
     from stpy_tpu.kernels import KernelFunction
 
-    k = KernelFunction(kernel_name="squared_exponential", gamma=0.5, d=1)
-    k2 = KernelFunction(kernel_name="linear", d=1)
-    gp = GaussianProcess(kernel=k + k2, precision="double")
+    k = KernelFunction(kernel_name="matern", nu=1.2, gamma=0.5, d=1)
+    gp = GaussianProcess(kernel=k, precision="double")
     x, y, _ = _setup(n=32, nt=8, d=1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="no df rule"):
         gp.fit_gp(x[:, :1], y)
 
 
