@@ -81,13 +81,15 @@ class GaussianProcess(Estimator, RandomProcess):
         # lands on the df representation floor), so the default is 1.
         # Raise for extreme condition numbers (κ·u_solve approaching 1).
         self._df_refine_steps = max(0, int(df_refine_steps))
-        # var_refine qform main-product precision: None -> HIGHEST (bf16x6,
-        # f32-faithful); "bf16x3" emulates XLA's HIGH 3-pass scheme inside
-        # the Pallas kernel (~3x the HIGHEST MXU rate) — measured on the
-        # chip (r3 batch Y) and REJECTED as default: the dropped a1·b1
-        # term's first-order ~2⁻¹⁷ noise floors the refined variance at
-        # 4e-5–2.3e-4 max (vs HIGHEST's 2.3e-6–7.5e-6) for a 0.75 → 0.62 s
-        # fused fit+predict. Opt-in for MAP-grade posteriors only.
+        # var_refine qform main-product precision: None -> "ozaki" (r4 —
+        # EXACT integer-slice main product, ops/pallas_qform_df.py; var
+        # max 6.2e-7 (se) / 9.3e-7 (matern32) at n=16k, the first config
+        # to meet the 1e-6 BASELINE bar; fused fit+predict ~0.93 s).
+        # Alternatives: jax.lax.Precision.HIGHEST (bf16x6 — ~3e-6 floor
+        # from f32 rounding at the gross pass's partial magnitudes, 0.73
+        # s), "split8" (all 2⁻²⁴ cross terms, same ~3e-6 floor — the r4
+        # measurement that localized the floor), "bf16x3" (HIGH-grade,
+        # 4e-5–2.3e-4 — MAP-grade posteriors only, r3 batch Y).
         self._qform_precision = qform_precision
         # jitter_ladder=False swaps safe_cholesky's escalating retry loop
         # for a single fixed-jitter factorization (chol_jittered). The
@@ -255,19 +257,24 @@ class GaussianProcess(Estimator, RandomProcess):
             mu = (Mh + Ml)[:, None]
             kss = self.kernel_object.diag(xtest, params_dict)
             # W0 only needs to leave a SMALL residual (error enters q at
-            # second order): HIGH (bf16x3) GEMM substitution is plenty and
-            # ~2x the HIGHEST rate. var_precision=HIGHEST buys a smaller
-            # second-order term for ~+0.14 s (the var_precision knob
-            # repurposed: in single mode it picks the trisolve precision,
+            # second order): HIGH (bf16x3) GEMM substitution is plenty for
+            # SINGLE-atom kernels (identity bias (c) 4.3e-7 se / 9.7e-7
+            # matern32 rel-to-var at n=16k) and ~2x the HIGHEST rate.
+            # COMPOSITE (multi-atom) Grams carry larger k** magnitudes and
+            # HIGH's W0 residual pushes (c) to 5.2e-6 — past the 1e-6 bar
+            # — so they default to HIGHEST (+0.14 s, (c) → ≤3.7e-7;
+            # benchmarks/exp_r4_sematern_floor.py). var_precision
+            # overrides (in single mode it picks the trisolve precision,
             # here the W0 solve precision).
-            W0 = cho_solve_blocked(
-                L, Kh.T,
-                precision=(self._var_precision
-                           or jax.lax.Precision.HIGH))
+            w0_prec = self._var_precision
+            if w0_prec is None:
+                n_atoms = len(getattr(self.kernel_object, "_atoms", (1,)))
+                w0_prec = (jax.lax.Precision.HIGHEST if n_atoms > 1
+                           else jax.lax.Precision.HIGH)
+            W0 = cho_solve_blocked(L, Kh.T, precision=w0_prec)
             qh, ql = qform_refined(
                 Th, Tl, W0, Kh.T, Kl.T, s,
-                main_precision=(self._qform_precision
-                                or jax.lax.Precision.HIGHEST))
+                main_precision=(self._qform_precision or "ozaki"))
             var = jnp.maximum((kss - qh) - ql, 1e-30)
             return mu, jnp.sqrt(var)[:, None]
 

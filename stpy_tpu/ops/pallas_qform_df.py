@@ -77,7 +77,124 @@ def _qform_kernel(s2_ref, th_ref, tl_ref, w0k_ref, w0a_ref, bh_ref, bl_ref,
     # bf16 lo-Gram pass straight into lo.
     dn = (((1,), (0,)), ((), ()))
     w0k = w0k_ref[:]
-    if main_precision == "bf16x3":
+
+    def _fold_hi(p):
+        sh, e = two_sum(acc_h[:], p)
+        acc_h[:] = sh
+        acc_l[:] = acc_l[:] + e
+
+    if main_precision == "ozaki":
+        # EXACT main product via Ozaki-style integer slicing (r4, VERDICT
+        # task 1 — the winning scheme). Measured floors: HIGHEST and
+        # split8 both sit at ~3e-6 rel-to-var because f32 rounds at the
+        # GROSS pass's partial magnitudes (in-dot accumulation + per-chunk
+        # output rounding) — the fix is to make the arithmetic exact, not
+        # to add passes. Both tiles are sliced into power-of-two-scaled
+        # 8-BIT INTEGERS carried in bf16 (|a_p| ≤ 128 after rounding, rows
+        # of Th scaled by 2^{floor(log2 rowmax)}·2⁻⁷, columns of W0
+        # likewise), so every MXU product is an integer ≤ 2¹⁵ and the f32
+        # accumulation of a 256-deep dot stays ≤ 2²³ — EXACT. The
+        # power-of-two rescale is exact in f32; TwoSum folds combine the
+        # passes exactly. Passes p+q ≤ 3 (10 of 16): dropped terms are
+        # ≤ 2⁻³² of gross; slice-truncation tails likewise ≤ 2⁻³²·scale.
+        # ~10 DEFAULT passes ≈ 1.5x the 6-pass HIGHEST wall.
+        th = th_ref[:]
+        bk = th.shape[1]
+        sub = 256 if bk % 256 == 0 else bk  # exactness bound: 2^15·2^8
+
+        def pow2_below(m):
+            # 2^{floor(log2 m)} via exp2/floor with an exactness guard
+            # (log2's VPU rounding can mis-floor at exact powers of two;
+            # the two corrections pin p ≤ m < 2p)
+            p2 = jnp.exp2(jnp.floor(jnp.log2(jnp.maximum(m, 1e-30))))
+            p2 = jnp.where(p2 > m, p2 * 0.5, p2)
+            p2 = jnp.where(2.0 * p2 <= m, p2 * 2.0, p2)
+            return p2
+
+        def slices4(a, scale):
+            r = a / scale
+            out = []
+            for _ in range(4):
+                s0 = jnp.round(r)
+                out.append(s0.astype(jnp.bfloat16))
+                r = (r - s0) * 256.0
+            return out
+
+        rmax = jnp.max(jnp.abs(th), axis=1, keepdims=True)
+        a_sc = pow2_below(jnp.maximum(rmax, 1e-30)) * (2.0 ** -7)
+        cmax = jnp.max(jnp.abs(w0k), axis=0, keepdims=True)
+        b_sc = pow2_below(jnp.maximum(cmax, 1e-30)) * (2.0 ** -7)
+        asl = slices4(th, a_sc)
+        bsl = slices4(w0k, b_sc)
+
+        def idot(a, b):
+            return jax.lax.dot_general(
+                a, b, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        for p_i in range(4):
+            for q_i in range(4):
+                if p_i + q_i > 3:
+                    continue
+                d = 0.0
+                for j in range(bk // sub):
+                    d = d + idot(asl[p_i][:, j * sub:(j + 1) * sub],
+                                 bsl[q_i][j * sub:(j + 1) * sub, :])
+                # d: exact integer-valued f32 (each sub-dot exact ≤ 2²³,
+                # their sum ≤ 2²⁴ ... guarded by sub; the cross-sub add
+                # of two exact ≤2²³ integers is exact)
+                val = (d * (a_sc * jnp.float32(2.0 ** (-8 * (p_i + q_i))))
+                       ) * b_sc
+                sh0, e0 = two_sum(acc_h[:], val)
+                acc_h[:] = sh0
+                acc_l[:] = acc_l[:] + e0
+        p = None
+    elif main_precision == "split8":
+        # Manual 8-pass split GEMM (r4, VERDICT task 1). The r4 stage
+        # decomposition (benchmarks/exp_r4_qform_stage.py) showed the
+        # HIGHEST main product's error is FLAT in block_k (3.37e-6 →
+        # 3.01e-6 rel-to-var at 512 → 128): it is dominated by bf16x6's
+        # dropped 2⁻²⁴ cross terms (a1·b2 + a2·b1), not by f32
+        # accumulation — no chunking can recover terms the scheme never
+        # computes. Here both tiles are split into exact bf16 triples
+        # (8+8+8 = 24 mantissa bits, a0+a1+a2 ≡ the f32 value) and all
+        # terms through 2⁻²⁴ run as native DEFAULT bf16 MXU passes:
+        #   a0·b0            sub-chunked at 128 deep, each partial
+        #                    TwoSum-folded (this pass carries the gross
+        #                    magnitude — within-dot f32 accumulation is
+        #                    its only error, ∝ √depth);
+        #   a0·b1 + a1·b0    2⁻⁸-scale, TwoSum-folded at full depth;
+        #   a1·b1+a0·b2+a2·b0  2⁻¹⁶-scale, straight into the lo limb;
+        #   a1·b2 + a2·b1    2⁻²⁴-scale (the terms HIGHEST drops), lo.
+        # Per-product error is now ~2⁻³² (only a2·b2 dropped) and the
+        # remaining accumulation error rides 128-deep partials. 8 passes
+        # at the DEFAULT rate ≈ the 6-pass HIGHEST wall (~1.3x).
+        th = th_ref[:]
+        a0 = th.astype(jnp.bfloat16)
+        r = th - a0.astype(jnp.float32)
+        a1 = r.astype(jnp.bfloat16)
+        a2 = (r - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+        b0 = w0k.astype(jnp.bfloat16)
+        rb = w0k - b0.astype(jnp.float32)
+        b1 = rb.astype(jnp.bfloat16)
+        b2 = (rb - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def bdot(a, b):
+            return jax.lax.dot_general(
+                a, b, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        bk = th.shape[1]
+        sub = 128 if bk % 128 == 0 else bk
+        for j in range(bk // sub):
+            _fold_hi(bdot(a0[:, j * sub:(j + 1) * sub],
+                          b0[j * sub:(j + 1) * sub, :]))
+        _fold_hi(bdot(a0, b1) + bdot(a1, b0))
+        acc_l[:] = acc_l[:] + ((bdot(a1, b1) + (bdot(a0, b2)
+                                                + bdot(a2, b0)))
+                               + (bdot(a1, b2) + bdot(a2, b1)))
+        p = None
+    elif main_precision == "bf16x3":
         # HIGH (bf16x3)-equivalent main product: Mosaic's dot_general only
         # accepts DEFAULT/HIGHEST, so emulate XLA's 3-pass scheme with an
         # explicit Veltkamp-style bf16 split of both tiles — a0·b0 +
@@ -104,9 +221,12 @@ def _qform_kernel(s2_ref, th_ref, tl_ref, w0k_ref, w0a_ref, bh_ref, bl_ref,
                                w0k.astype(jnp.bfloat16), dn,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.DEFAULT)
-    sh, e = two_sum(acc_h[:], p)
-    acc_h[:] = sh
-    acc_l[:] = acc_l[:] + (e + corr)
+    if p is None:             # split8 already folded its passes
+        acc_l[:] = acc_l[:] + corr
+    else:
+        sh, e = two_sum(acc_h[:], p)
+        acc_h[:] = sh
+        acc_l[:] = acc_l[:] + (e + corr)
 
     @pl.when(kt == k_steps - 1)
     def _finalize():
@@ -238,7 +358,7 @@ def _qform_f64(Th, Tl, W0, Bh, Bl, s2):
 
 def qform_refined(Th, Tl, W0, Bh, Bl, s, *, block_m=512, block_n=512,
                   block_k=512, interpret=None,
-                  main_precision=jax.lax.Precision.HIGHEST):
+                  main_precision="ozaki"):
     """q ≈ diag(Bᵀ (Th+Tl+s²I)⁻¹ B) as a df pair (qh, ql), given an
     approximate solve W0 — second-order-accurate in W0's residual (see
     module docstring). Th/Tl: (n, n) df Gram; W0, Bh, Bl: (n, t); s: noise
