@@ -237,6 +237,13 @@ class Estimator(ABC):
             n_ls = 12
             cand_bytes = chunk * n_ls * 2 * n_pts * n_pts * itemsize
             ls_kind = "batched" if cand_bytes <= 2e9 else "backtracking"
+            # tiny-dim fast path (r4, VERDICT task 4): bandwidth/noise
+            # hyperfits are 1-2 parameters — exact-Hessian damped Newton
+            # converges in ~5-12 iterations with 6 value-only candidates
+            # vs L-BFGS's ~40 worst-lane iterations x 12 candidates, at
+            # identical fitted optima (benchmarks/exp_r4_hyperfit.py)
+            if dim <= 2 and regularizer_func is None:
+                ls_kind = "newton"
             cache_key = (
                 tuple((s_[0], s_[1], s_[2]) for s_ in specs),
                 chunk, maxiter, float(mingradnorm), weight,
@@ -246,28 +253,43 @@ class Estimator(ABC):
             if not hasattr(self, "_hyperopt_runners"):
                 self._hyperopt_runners = {}
             if cache_key not in self._hyperopt_runners:
-                self._hyperopt_runners[cache_key] = jax.jit(
-                    jax.vmap(
-                        lambda x0, x, y, pa, sc: minimize_lbfgs(
-                            lambda t: cost_args(t, x, y, pa, sc),
-                            x0, max_iter=maxiter, tol=mingradnorm,
-                            # relative/step stops: an absolute f32 gradient
-                            # norm never reaches 1e-6 on an evidence —
-                            # without these every restart burns maxiter
-                            rtol=rtol, xtol=xtol,
-                            # batched (preferred) or backtracking: same
-                            # optimum as zoom here, much smaller XLA
-                            # program than zoom. Shallow cap: under vmap
-                            # every lane pays the deepest lane's search,
-                            # and with L-BFGS scaling the accepted step is
-                            # almost always within a few halvings (quality
-                            # checked on configs 1/5)
-                            linesearch=ls_kind,
-                            max_linesearch_steps=n_ls,
-                        ),
-                        in_axes=(0, None, None, None, None),
+                if ls_kind == "newton":
+                    from stpy_tpu.opt.lbfgs import minimize_newton_small
+
+                    self._hyperopt_runners[cache_key] = jax.jit(
+                        jax.vmap(
+                            lambda x0, x, y, pa, sc: minimize_newton_small(
+                                lambda t: cost_args(t, x, y, pa, sc),
+                                x0, max_iter=maxiter, tol=mingradnorm,
+                                rtol=rtol, xtol=xtol,
+                            ),
+                            in_axes=(0, None, None, None, None),
+                        )
                     )
-                )
+                else:
+                    self._hyperopt_runners[cache_key] = jax.jit(
+                        jax.vmap(
+                            lambda x0, x, y, pa, sc: minimize_lbfgs(
+                                lambda t: cost_args(t, x, y, pa, sc),
+                                x0, max_iter=maxiter, tol=mingradnorm,
+                                # relative/step stops: an absolute f32
+                                # gradient norm never reaches 1e-6 on an
+                                # evidence — without these every restart
+                                # burns maxiter
+                                rtol=rtol, xtol=xtol,
+                                # batched (preferred) or backtracking: same
+                                # optimum as zoom here, much smaller XLA
+                                # program than zoom. Shallow cap: under vmap
+                                # every lane pays the deepest lane's search,
+                                # and with L-BFGS scaling the accepted step
+                                # is almost always within a few halvings
+                                # (quality checked on configs 1/5)
+                                linesearch=ls_kind,
+                                max_linesearch_steps=n_ls,
+                            ),
+                            in_axes=(0, None, None, None, None),
+                        )
+                    )
             # run in `chunk`-sized batches; pad the last so every call
             # reuses the one compiled runner
             all_vals, all_xs, all_iters, all_conv = [], [], [], []

@@ -177,6 +177,83 @@ def _minimize_lbfgs_batched_ls(
                        converged=_done(x, gnorm, vf, dx))
 
 
+def minimize_newton_small(
+    fun, x0, *, max_iter=40, tol=1e-8, rtol=0.0, xtol=0.0,
+    n_candidates=6,
+):
+    """Damped Newton for TINY dims (d ≤ ~3) — the hyperopt fast path.
+
+    The vmapped L-BFGS spends ~40 worst-lane iterations x a 12-candidate
+    linesearch batch on what is usually a 1-2 parameter evidence surface
+    (bandwidth/noise); exact-Hessian Newton with a Levenberg floor and a
+    small batched Armijo guard converges in ~5-12 iterations with 6
+    value-only candidate evaluations each — measured ~4x less on-device
+    work at identical optima (benchmarks/exp_r4_hyperfit.py). Same stop
+    semantics as minimize_lbfgs (tol/rtol/xtol). jit/vmap-safe.
+    """
+    d = x0.shape[0]
+    etas = jnp.asarray([1.0, 0.5, 0.25, 0.06, 0.01, 0.002][:n_candidates],
+                       x0.dtype)
+    c1 = 1e-4
+    vag = jax.value_and_grad(fun)
+    # reverse-over-reverse: forward-mode (jax.hessian) cannot cross the
+    # Pallas gram's custom_vjp; at d <= 3 jacrev-of-grad is cheap anyway
+    hess = jax.jacrev(jax.grad(fun))
+
+    def _done(x, gnorm, val, dx):
+        stop = gnorm <= tol
+        if rtol > 0.0:
+            stop = jnp.logical_or(stop, gnorm <= rtol * (1.0 + jnp.abs(val)))
+        if xtol > 0.0:
+            stop = jnp.logical_or(
+                stop, dx <= xtol * (1.0 + jnp.max(jnp.abs(x))))
+        return stop
+
+    def cond(carry):
+        x, it, gnorm, val, dx, stall = carry
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iter, stall < 3),
+            ~_done(x, gnorm, val, dx))
+
+    def body(carry):
+        x, it, _, f_prev, _, stall = carry
+        f, g = vag(x)
+        # stall-stop: a lane wandering a flat valley in sub-rtol steps
+        # otherwise pins EVERY vmapped lane to max_iter (one config-5
+        # restart burned 40/40 this way while the rest finished in ≤ 15)
+        improved = (f_prev - f) > (rtol if rtol > 0 else 1e-12) * (
+            1.0 + jnp.abs(f))
+        stall = jnp.where(improved, 0, stall + 1)
+        H = hess(x).reshape(d, d)
+        # Levenberg floor: lift the spectrum to at least eps·scale so the
+        # step stays a descent direction on indefinite regions
+        scale = jnp.maximum(jnp.max(jnp.abs(H)), 1e-12)
+        Hd = H + (1e-6 * scale) * jnp.eye(d, dtype=x.dtype)
+        dstep = -jnp.linalg.solve(Hd, g)
+        gd = jnp.vdot(g, dstep)
+        bad = jnp.logical_or(~jnp.isfinite(gd), gd >= 0.0)
+        # steepest-descent fallback scaled to the Newton step's size
+        fb = -g * (jnp.linalg.norm(dstep)
+                   / jnp.maximum(jnp.linalg.norm(g), 1e-30))
+        dstep = jnp.where(bad, fb, dstep)
+        gd = jnp.where(bad, jnp.vdot(g, dstep), gd)
+        cand = jax.vmap(lambda e: fun(x + e * dstep))(etas)
+        ok = jnp.logical_and(cand <= f + c1 * etas * gd, jnp.isfinite(cand))
+        eta = jnp.where(jnp.any(ok), etas[jnp.argmax(ok)], 0.0)
+        step = eta * dstep
+        x_new = x + step
+        return (x_new, it + 1, jnp.linalg.norm(g), f,
+                jnp.max(jnp.abs(step)), stall)
+
+    v0 = fun(x0)
+    inf = jnp.asarray(jnp.inf, x0.dtype)
+    carry = (x0, jnp.asarray(0), inf, v0, inf, jnp.asarray(0))
+    x, it, gnorm, _, dx, _ = jax.lax.while_loop(cond, body, carry)
+    vf = fun(x)
+    return LBFGSResult(x=x, value=vf, iterations=it,
+                       converged=_done(x, gnorm, vf, dx))
+
+
 # -- smooth reparameterizations for constrained hyperparameters ---------------
 
 def make_positive_bijector(scale: float = 1.0):
