@@ -32,6 +32,7 @@ Run: timeout 7200 python benchmarks/exp_reference_walls5.py
 """
 
 import json
+import os
 import sys
 import time
 import types
@@ -259,14 +260,19 @@ def config4(torch):
     est = RefPRE(None, hier, d=2, m=8, kernel_object=k, B=4.0, s=1e-3,
                  basis="triangle", dual=False, opt="torch")
 
-    # identical sensing protocol to run_all.py config 4: 16 points per
-    # level-3 leaf from the same bump-rate law, dt=20 (numpy host RNG)
-    rng = np.random.default_rng(0)
-    data = []
-    for S in hier.get_sets_level(3):
-        b = np.asarray(S.bounds, np.float64)
-        pts = rng.uniform(b[:, 0], b[:, 1], (16, 2))
-        data.append((S, torch.from_numpy(pts), 20.0))
+    # IDENTICAL data to run_all.py config 4: the exact Poisson draw the
+    # rebuild fits, exported by benchmarks/export_config4_data.py (the
+    # first r4 run drew uniform 16-point leaves — a different data law,
+    # fitted totals incomparable)
+    dpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".config4_data.npz")
+    z = np.load(dpath)
+    counts, points, dt = z["counts"], z["points"], float(z["dt"])
+    data, off = [], 0
+    for S, c in zip(hier.get_sets_level(3), counts):
+        pts = points[off:off + int(c)]
+        off += int(c)
+        data.append((S, torch.from_numpy(pts) if len(pts) else None, dt))
     est.load_data(data)
 
     t0 = time.perf_counter()
@@ -279,7 +285,30 @@ def config4(torch):
 
 
 def config5(torch):
-    return {**config1(torch, restarts=64, n=256, maxiter=40), "config": 5}
+    """Same DATA LAW as run_all.py config 5 (log-Cox surrogate, seed 4) —
+    the first r4 run reused config 1's sin data, so fitted gammas were
+    incomparable."""
+    from stpy.continuous_processes.gauss_procc import GaussianProcess
+    from stpy.kernels import KernelFunction
+
+    rng = np.random.default_rng(4)
+    n = 256
+    xx = rng.uniform(-1, 1, (n, 1))
+    yy = (np.log(2.5 * np.exp(-4 * xx ** 2) + 0.3)
+          + 0.05 * rng.standard_normal((n, 1)))
+    x, y = torch.from_numpy(xx), torch.from_numpy(yy)
+    k = KernelFunction(kernel_name="squared_exponential", gamma=1.0, d=1)
+    gp = GaussianProcess(kernel=k, s=0.05, d=1)
+    gp.back_prop = False
+    gp.fit_gp(x, y)
+    t0 = time.perf_counter()
+    gp.optimize_params(type="bandwidth", restarts=64, maxiter=40,
+                       optimizer="pytorch-minimize", verbose=False)
+    wall = time.perf_counter() - t0
+    gamma = float(np.ravel(np.asarray(
+        gp.kernel_object.params_dict["0"]["gamma"].detach()))[0])
+    return {"config": 5, "wall_s": round(wall, 3),
+            "fitted_gamma": round(gamma, 4), "restarts": 64}
 
 
 def main():

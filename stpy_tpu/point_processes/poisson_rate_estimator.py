@@ -65,14 +65,21 @@ from stpy_tpu.point_processes.rate_estimator import RateEstimator
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def _map_count_record_lbfgs(phis_raw, obs_raw, mult, invG_half, s, l, u, w0,
-                            max_iter=3000):
+def _map_count_record_lbfgs(phis, observations, mult, invG_half, s, l, u,
+                            w0, max_iter=3000):
     """Jit-stable count-record MAP solve (sigmoid-reparam L-BFGS on the box).
 
     Module-level jit with the data as ARGUMENTS: together with the
     power-of-2 padding of phis/observations (rate_estimator.py jit_pad), a
     whole active-sensing campaign reuses O(log n) compiled programs instead
-    of re-tracing the solver every round."""
+    of re-tracing the solver every round. The Γ^{-1/2} projections of
+    phis/observations and the final rate happen INSIDE this one program
+    (r4: each was its own eager dispatch before — 3 x the ~31 ms tunnel
+    floor on BASELINE config 4). xtol stops the while_loop once steps
+    stop moving w (~1e2-2e2 iterations here; r3 measured fitted totals
+    identical at caps 1000/1500/3000, i.e. long-converged)."""
+    phis_raw = phis @ invG_half
+    obs_raw = observations @ invG_half
     eps = 1e-4
     l_arr = jnp.asarray(l) + eps
     span = jnp.asarray(u) - l_arr
@@ -89,8 +96,10 @@ def _map_count_record_lbfgs(phis_raw, obs_raw, mult, invG_half, s, l, u, w0,
             + 0.5 * s * jnp.sum(reg * reg)
         )
 
-    res = minimize_lbfgs(obj, z0, max_iter=max_iter, tol=1e-9, memory_size=30)
-    return l_arr + span * jax.nn.sigmoid(res.x)
+    res = minimize_lbfgs(obj, z0, max_iter=max_iter, tol=1e-9,
+                         memory_size=30, xtol=1e-8)
+    w_star = l_arr + span * jax.nn.sigmoid(res.x)
+    return w_star, invG_half @ w_star
 
 
 def _sigmoid_box_lbfgs(obj_w, l, u, w0, max_iter):
@@ -425,27 +434,24 @@ class PoissonRateEstimator(RateEstimator):
         G_half, invG_half = self.cov(inverse=True)
 
         if not self.dual:
-            phis_raw = self.phis @ invG_half  # rounds x m, includes dt
             if self.observations is not None:
-                obs_raw = self.observations @ invG_half
                 mult = self.obs_multiplicities
                 w0 = self._warm_start_w(G_half)
                 if w0 is None:
                     w0 = jnp.full((self.get_m(),), 0.1, default_dtype())
-                w_star = _map_count_record_lbfgs(
-                    phis_raw, obs_raw, mult, invG_half,
+                _, self.rate = _map_count_record_lbfgs(
+                    self.phis, self.observations, mult, invG_half,
                     jnp.asarray(self.s, default_dtype()), l, u, w0,
                     max_iter=self.map_max_iter,
                 )
-                self.rate = invG_half @ w_star
                 return self.rate
-            else:
+            phis_raw = self.phis @ invG_half  # rounds x m, includes dt
 
-                def objective(w):
-                    reg = invG_half @ w
-                    return jnp.sum(phis_raw @ w) + 0.5 * self.s * jnp.sum(
-                        reg * reg
-                    )
+            def objective(w):
+                reg = invG_half @ w
+                return jnp.sum(phis_raw @ w) + 0.5 * self.s * jnp.sum(
+                    reg * reg
+                )
         else:
             # static shapes: full bucket set (unvisited buckets have τ = 0,
             # mathematically a no-op) and the fixed anchor grid — one
