@@ -259,10 +259,13 @@ def test_sgcp_recovers_known_sigmoidal_cox_rate():
     assert np.all(hi > lo)
     cover = np.mean((true >= lo - 1e-6) & (true <= hi + 1e-6))
     assert cover > 0.25, cover
-    # r3 (VERDICT r2 item 8): the HMC-corrected bands sample the true
-    # (non-factorized) sparse posterior and must restore calibration —
-    # nominal 0.80 band, required >= 0.6 empirical coverage (the MFVI
-    # band above measures ~0.36 on this fixture)
+    # r3/r4 (VERDICT r3 task 7): the HMC-corrected bands sample the true
+    # (non-factorized) sparse posterior and must restore calibration.
+    # Measured across 8 independent realizations the nominal 0.80 band
+    # covers 0.783 ± 0.087 (benchmarks/exp_r4_sgcp_cal.py, default HMC
+    # settings) — nominal within spread. Tested here on THREE seeds:
+    # multi-seed mean >= 0.7 and every seed >= 0.55 (the 8-seed min was
+    # 0.69; the MFVI band above measures ~0.36-0.55).
     lo_m, hi_m, acc = sg.rate_bands_mcmc(
         xt, delta=0.1, samples=600, warmup=300,
         key=jax.random.PRNGKey(11),
@@ -270,7 +273,23 @@ def test_sgcp_recovers_known_sigmoidal_cox_rate():
     assert acc > 0.4, acc
     lo_m = np.asarray(lo_m).ravel()
     hi_m = np.asarray(hi_m).ravel()
-    cover_m = np.mean((true >= lo_m - 1e-6) & (true <= hi_m + 1e-6))
-    assert cover_m >= 0.6, (cover_m, cover)
+    covers = [np.mean((true >= lo_m - 1e-6) & (true <= hi_m + 1e-6))]
+    assert covers[0] >= 0.55, (covers, cover)
     # and wider than the under-dispersed MFVI band on average
     assert (hi_m - lo_m).mean() > (hi - lo).mean()
+    for seed in (0, 1):
+        proc_s = PoissonPointProcess(d=1, B=lam_max, rate=rate_fn)
+        obs_s = proc_s.sample_discretized(
+            jax.random.PRNGKey(seed), S, dt=1.0, n=512)
+        sg_s = SGCPVariational(k, S, obs_s, num_inducing=16,
+                               num_integration=128, lam_max_init=lam_max)
+        sg_s.run(steps=600)
+        lo_s, hi_s, acc_s = sg_s.rate_bands_mcmc(
+            xt, delta=0.1, samples=600, warmup=300,
+            key=jax.random.PRNGKey(100 + seed))
+        assert acc_s > 0.4, acc_s
+        c = np.mean((true >= np.asarray(lo_s).ravel() - 1e-6)
+                    & (true <= np.asarray(hi_s).ravel() + 1e-6))
+        assert c >= 0.55, (seed, c)
+        covers.append(c)
+    assert np.mean(covers) >= 0.7, covers
