@@ -168,5 +168,25 @@ def _generic_df_gram(kernel_object, i, p, a, b):
     def fn(aa, bb, *vals):
         return atom(dict(zip(keys, vals)), aa, bb)
 
-    (pair,) = df_call(fn, [a, b] + [base[k] for k in keys], los)
+    vals = [base[k] for k in keys]
+    n = a.shape[0]
+    # row-chunk large Grams: the interpreter materializes ~a dozen (rows,
+    # n_b) pair intermediates per trace; at n = 16k that is multiple GiB
+    # of HBM. lax.map over 2048-row chunks bounds the live set while
+    # tracing the chunk body once.
+    chunk = 2048
+    if n > chunk and a.ndim == 2:
+        pad = (-n) % chunk
+        ap = jnp.pad(a, ((0, pad), (0, 0))) if pad else a
+        ac = ap.reshape(-1, chunk, a.shape[1])
+
+        def body(arow):
+            (pr,) = df_call(fn, [arow, b] + vals, los)
+            return pr
+
+        hs, ls = jax.lax.map(body, ac)
+        hs = hs.reshape(-1, hs.shape[-1])[:n]
+        ls = ls.reshape(-1, ls.shape[-1])[:n]
+        return hs, ls
+    (pair,) = df_call(fn, [a, b] + vals, los)
     return pair

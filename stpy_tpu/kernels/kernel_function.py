@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from stpy_tpu.config import as_array, default_dtype
@@ -414,10 +415,11 @@ class KernelFunction:
             g = atom.static.get("group")
             xs = x if g is None else x[:, jnp.asarray(g)]
             return kappa * jnp.sum(xs * xs, axis=1) + p.get("offset", 0.0)
-        # generic fall-back: evaluate row-wise via the full kernel on
-        # singleton batches (still vectorized via one call on (n,1) blocks)
-        K = atom(p, x, x)
-        return jnp.diagonal(K)
+        # generic fall-back: vmapped singleton evaluations k(x_i, x_i) —
+        # O(n) work and memory (a full (n, n) Gram for its diagonal alone
+        # is 1 GiB at n = 16k inside the predict jit)
+        return jax.vmap(
+            lambda r: atom(p, r[None, :], r[None, :])[0, 0])(x)
 
     # -- reference-compatible surface -------------------------------------------
     def kernel(self, a, b, **kwargs):

@@ -302,10 +302,18 @@ class KernelizedFeatures(Estimator, RandomProcess):
     def mean(self, xtest):
         return self.mean_std(xtest)[0]
 
+    def _plain_posterior(self):
+        """True iff the posterior mean is the base invV·Qᵀy — subclasses
+        that override theta_mean (e.g. TruncatedKernelizedFeatures'
+        truncated responses) must NOT take the fused one-dispatch paths,
+        which inline that formula."""
+        return type(self).theta_mean is KernelizedFeatures.theta_mean
+
     def mean_std(self, xtest):
         self.precompute()
         xtest = as_array(xtest)
-        if self.fitted and not self.dual and self.Q is not None:
+        if (self.fitted and not self.dual and self.Q is not None
+                and self._plain_posterior()):
             # one-dispatch serving path (see _jits)
             def _ms():
                 def f(invV, Q, y, xt):
@@ -395,7 +403,8 @@ class KernelizedFeatures(Estimator, RandomProcess):
 
     def sample(self, xtest, size=1, prior=False, key=None):
         if (not prior and self.fitted and not self.dual
-                and getattr(self, "Q", None) is not None):
+                and getattr(self, "Q", None) is not None
+                and self._plain_posterior()):
             # one-dispatch posterior sampling (see _jits)
             key = key if key is not None else jax.random.PRNGKey(
                 np.random.randint(2**31))
