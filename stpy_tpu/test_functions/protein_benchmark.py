@@ -96,6 +96,44 @@ class ProteinBenchmark:
         self.X = self.op.translate_one_hot(self.X_codes)
 
     @classmethod
+    def from_file(cls, fname, dim=1, ref=("D", "D", "D", "D"), avg=False,
+                  scale=True, positions=4, fitness_col="Fitness"):
+        """Load a mutation dataset file with the REFERENCE's semantics
+        (stpy/test_functions/protein_benchmark.py:138-181): columns
+        P1..P{positions} hold per-position amino-acid letters, `fitness_col`
+        the response; rows are masked to those whose trailing
+        (positions - dim) sites equal `ref`'s, and Fitness is scaled by its
+        max. Format by suffix: .csv (always available), .h5/.hdf
+        (pd.read_hdf — needs pytables), .xlsx (pd.read_excel — needs
+        openpyxl); the reference bundles .h5/.xlsx, neither engine ships in
+        this environment, so the tested path is the CSV round-trip of the
+        same pipeline (tests/test_data_benchmarks.py)."""
+        import pandas as pd
+
+        fname = str(fname)
+        if fname.endswith((".h5", ".hdf", ".hdf5")):
+            dset = pd.read_hdf(fname)
+        elif fname.endswith((".xlsx", ".xls")):
+            dset = pd.read_excel(fname)
+        else:
+            dset = pd.read_csv(fname)
+        if not avg:
+            mask = np.full(dset.shape[0], True, dtype=bool)
+            for j in range(positions - dim):
+                mask &= (
+                    dset[f"P{positions - j}"] == ref[positions - 1 - j]
+                ).to_numpy()
+            dset = dset[mask]
+        cols = [f"P{i + 1}" for i in range(dim)]
+        variants = dset[cols].to_numpy()
+        values = dset[fitness_col].to_numpy(dtype=float)
+        if scale and values.size:
+            values = values / (np.max(values) or 1.0)
+        # scaling already applied reference-style (divide by max, which
+        # can flip signs exactly as the reference does for negative max)
+        return cls((variants, values), dim=dim, ref=list(ref), scale=False)
+
+    @classmethod
     def synthetic(cls, dim=2, n=256, key=0, epistasis=0.3, noise=0.0):
         """Generate a synthetic mutation landscape so the benchmark is
         exercisable without the reference's bundled .xlsx: fitness = additive
