@@ -314,11 +314,21 @@ def _zeros_lo(x):
     return jnp.zeros_like(x)
 
 
+def _canon_int(x):
+    """x64-trace artifacts: 64-bit int/uint consts (promoted index
+    arrays) back to the 32-bit the x64-off interpretation runs in."""
+    if x.dtype == jnp.int64:
+        return x.astype(jnp.int32)
+    if x.dtype == jnp.uint64:
+        return x.astype(jnp.uint32)
+    return x
+
+
 def _pair(x):
     """Lift a raw value: float arrays get a zero lo limb; everything else
     (ints, bools) carries lo=None and passes through rules untouched."""
     x = jnp.asarray(x)
-    return (x, _zeros_lo(x)) if _is_float(x) else (x, None)
+    return (x, _zeros_lo(x)) if _is_float(x) else (_canon_int(x), None)
 
 
 def _lit_pair(val):
@@ -327,7 +337,7 @@ def _lit_pair(val):
     its own rounding (module docstring)."""
     arr = np.asarray(val)
     if not np.issubdtype(arr.dtype, np.floating):
-        return (jnp.asarray(arr), None)
+        return (_canon_int(jnp.asarray(arr)), None)
     hi = arr.astype(np.float32)
     lo = (arr.astype(np.float64) - hi.astype(np.float64)).astype(np.float32)
     return (jnp.asarray(hi), jnp.asarray(lo))
@@ -513,10 +523,19 @@ def _eval_jaxpr_df(jaxpr, consts, in_pairs):
                 outs = _eval_jaxpr_df(inner, sub_consts, ins)
             else:
                 outs = _eval_jaxpr_df(inner, sub_consts, ins)
-        elif name in _ARITH:
-            outs = [_ARITH[name](*ins)]
-        elif name == "integer_pow":
-            outs = [df_integer_pow(_as_f(ins[0]), int(eqn.params["y"]))]
+        elif name in _ARITH or name == "integer_pow":
+            if not any(_is_float(p[0]) for p in ins):
+                # integer/bool arithmetic (index math for gathers, shape
+                # bookkeeping) must stay in its own dtype — the df rules
+                # would silently float-promote gather indices
+                o = eqn.primitive.bind(*[_val(p) for p in ins],
+                                       **eqn.params)
+                outs = [(o, None)]
+            elif name == "integer_pow":
+                outs = [df_integer_pow(_as_f(ins[0]),
+                                       int(eqn.params["y"]))]
+            else:
+                outs = [_ARITH[name](*ins)]
         elif name in _CMP:
             outs = [(_CMP[name](_val(ins[0]), _val(ins[1])), None)]
         elif name == "select_n":
@@ -576,8 +595,27 @@ def df_call(fun, args, arg_los=None):
     matching list of lo limbs (None entries mean exactly-representable).
     Returns the list of (hi, lo) output pairs. Trace-compatible: safe to
     call inside jit (the jaxpr is built from shapes, the interpretation
-    emits ordinary jnp ops)."""
-    closed = jax.make_jaxpr(fun)(*args)
+    emits ordinary jnp ops).
+
+    The trace runs under enable_x64 with float64 avals so that python
+    literals in the kernel body (e.g. the 0.2 in `0.2*jnp.sum(x*x)`)
+    enter the jaxpr at f64 precision and _lit_pair splits them exactly;
+    tracing at f32 rounds every literal once (a ~2^-24 relative bias
+    that floored the gibbs Gram at 5e-8). Only the TRACE is f64 — the
+    interpretation still emits f32 df ops."""
+    try:
+        avals = []
+        for a in args:
+            a_ = jnp.asarray(a)
+            dt = jnp.float64 if _is_float(a_) else a_.dtype
+            avals.append(jax.ShapeDtypeStruct(jnp.shape(a_), dt))
+        with jax.enable_x64(True):
+            closed = jax.make_jaxpr(fun)(*avals)
+    except Exception:
+        # kernels that close over concrete f32 state can trip the f64
+        # trace (dtype asserts); f32-literal semantics is the honest
+        # fallback
+        closed = jax.make_jaxpr(fun)(*args)
     arg_los = arg_los or [None] * len(args)
     pairs = []
     for a, lo in zip(args, arg_los):

@@ -65,6 +65,25 @@ def _split_f64(v: float) -> tuple[float, float]:
     return float(hi), float(np.float64(v) - np.float64(hi))
 
 
+def _eft_guard(use_barriers: bool):
+    """The intermediate-value guard for HLO-path EFT code.
+
+    Two independent hazards, two guards. `optimization_barrier` stops the
+    HLO algebraic simplifier from cancelling compensation terms
+    ((a+b)-a -> b). `reduce_precision(8, 23)` — the identity rounding for
+    f32 — survives to the backend and stops the CPU LLVM emitter from
+    FMA-contracting a duplicated mul into a consumer add: XLA fusion
+    rematerializes cheap broadcast-muls into every consumer fusion, where
+    add(mul(A,F), pe) becomes fma(A, F, pe) and the EFT sees an exact
+    product where it computed a rounded one (measured 3e-8 per op on
+    broadcast operands — the r4 generic-df dot floor; the barrier alone
+    does NOT survive to the backend)."""
+    if not use_barriers:
+        return lambda x: x
+    return lambda x: jax.lax.optimization_barrier(
+        jax.lax.reduce_precision(x, 8, 23))
+
+
 def _make_eft(use_barriers: bool):
     """Error-free-transformation helpers, optionally wrapped in
     optimization barriers.
@@ -79,7 +98,7 @@ def _make_eft(use_barriers: bool):
     optimization_barrier — so the compiled kernel uses the bare forms
     (TPU accuracy is asserted against the f64 host in tests).
     """
-    ob = jax.lax.optimization_barrier if use_barriers else (lambda x: x)
+    ob = _eft_guard(use_barriers)
 
     def two_sum(a, b):
         s = ob(a + b)
@@ -147,7 +166,7 @@ def _make_two_prod_const(use_barriers: bool):
     """TwoProd(a, c) for a TENSOR a and a compile-time f32 constant c
     passed as `_host_veltkamp32(c)` output — only the tensor side is
     split in-kernel (see _host_veltkamp32 for why)."""
-    ob = jax.lax.optimization_barrier if use_barriers else (lambda x: x)
+    ob = _eft_guard(use_barriers)
 
     def two_prod_const(a, c_split):
         c32, chh, chl = c_split

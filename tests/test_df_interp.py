@@ -190,14 +190,97 @@ def test_double_mode_generic_composite_se_plus_linear_matches_f64():
     generic interpreter, folded with barrier-guarded df add."""
     x, y, xt = _setup(300, 150, 2, seed=1)
     s = 0.1
-    k1 = KernelFunction(kernel_name="squared_exponential", gamma=0.7, d=2)
-    k2 = KernelFunction(kernel_name="linear", d=2)
-    k = k1 + k2
-    gp = GaussianProcess(kernel=k, s=s, precision="double")
+    def mk():
+        # __add__ extends self in place — build fresh per use
+        return (KernelFunction(kernel_name="squared_exponential",
+                               gamma=0.7, d=2)
+                + KernelFunction(kernel_name="linear", d=2))
+
+    mu_ref, std_ref = _f64_posterior(mk(), x, y, xt, s)
+
+    gp = GaussianProcess(kernel=mk(), s=s, precision="double")
     gp.fit_gp(x, y)
     mu, std = gp.mean_std(xt)
-    mu_ref, std_ref = _f64_posterior(k, x, y, xt, s)
     assert (np.abs(np.asarray(mu) - mu_ref).max()
-            / np.abs(mu_ref).max()) < 1e-6
+            / np.abs(mu_ref).max()) < 1e-8        # measured 1.3e-10
+    # plain double-tier variance drops the Gram's lo limb in the
+    # trisolve — its measured floor here is ~1.6e-5 of max-std
     assert (np.abs(np.asarray(std).ravel() - std_ref).max()
-            / std_ref.max()) < 1e-5
+            / std_ref.max()) < 5e-5
+
+    gp = GaussianProcess(kernel=mk(), s=s, precision="double",
+                         var_refine=1)
+    gp.fit_gp(x, y)
+    mu, std = gp.mean_std(xt)
+    assert (np.abs(np.asarray(mu) - mu_ref).max()
+            / np.abs(mu_ref).max()) < 1e-8
+    assert (np.abs(np.asarray(std).ravel() - std_ref).max()
+            / std_ref.max()) < 1e-7               # measured 4.7e-9
+
+
+# ---------------------------------------------------------------------------
+# r4 regressions: the three compounding floors found by the gibbs TPU run
+# ---------------------------------------------------------------------------
+
+
+def test_df_gather_indices_stay_integer():
+    """Grouped atoms put int32 index consts in the trace; the index
+    normalization (add/select_n on ints) must bind raw — the df float
+    rules were promoting gather indices to f32 pairs (crash: 'indices
+    must have an integer type'). Exercised via the >2048-row chunked
+    path, where the group arrays enter as jaxpr constvars."""
+    import jax
+
+    from stpy_tpu.kernels.df_plan import df_atom_desc, df_gram_from_desc
+
+    def gamma_fun(x):
+        return 0.6 + 0.2 * jnp.sum(x * x, axis=1)
+
+    k = KernelFunction(kernel_name="gibbs", gamma_fun=gamma_fun, d=3)
+    rng = np.random.default_rng(0)
+    ah = _f32(rng.uniform(-1, 1, (2048 + 64, 3))).astype(np.float64)
+    a = jnp.asarray(ah, jnp.float32)
+    desc = df_atom_desc(k)
+    Kh, Kl = jax.jit(
+        lambda aa: df_gram_from_desc(k, k.params_dict, aa, aa, desc))(a)
+    la = 0.6 + 0.2 * (ah ** 2).sum(1)
+    ls = la[:, None] ** 2 + la[None, :] ** 2
+    sq = ((ah[:, None, :] - ah[None, :, :]) ** 2).sum(-1)
+    K64 = np.exp(-0.5 * sq / ls)
+    err = np.abs(_pairs_to_f64((Kh, Kl)) - K64).max()
+    # the three r4 fixes compound: 5e-8 (f32 literals) + 3e-8/op (FMA
+    # contraction of duplicated broadcast-muls) down to the df floor
+    assert err < 1e-9, err
+
+
+def test_df_trace_literals_keep_f64_meaning():
+    """Python literals in the kernel body must enter the jaxpr at f64
+    (the trace runs under enable_x64): an f32-rounded 0.2 biased every
+    gibbs lengthscale by 2^-25 relative (measured la err 3.4e-8 -> 5e-15
+    with the f64 trace)."""
+    rng = np.random.default_rng(0)
+    x = _f32(rng.uniform(-1, 1, (512, 4)))
+    (pair,) = df_call(lambda v: 0.6 + 0.2 * jnp.sum(v * v, axis=1),
+                      [jnp.asarray(x)])
+    ref = 0.6 + 0.2 * (np.asarray(x, np.float64) ** 2).sum(1)
+    assert np.abs(_pairs_to_f64(pair) - ref).max() < 1e-12
+
+
+def test_df_dot_general_exact_under_jit():
+    """The df dot_general must hold df accuracy INSIDE jit: XLA fusion
+    rematerializes the rank-1 broadcast-muls into consumer fusions where
+    the CPU LLVM emitter FMA-contracts add(mul(a,b), e) — the EFT then
+    mismatches (measured 8.6e-8 at 256x256). Guarded by reduce_precision
+    in _eft_guard (ops/pallas_gram_df.py)."""
+    import jax
+
+    from stpy_tpu.ops.df_interp import _dot_general_df
+
+    rng = np.random.default_rng(0)
+    a64 = _f32(rng.uniform(-1, 1, (256, 4))).astype(np.float64)
+    a = jnp.asarray(a64, jnp.float32)
+    dn = (((1,), (1,)), ((), ()))
+    f = jax.jit(lambda v: _dot_general_df(
+        (v, jnp.zeros_like(v)), (v, jnp.zeros_like(v)), dn))
+    err = np.abs(_pairs_to_f64(f(a)) - a64 @ a64.T).max()
+    assert err < 1e-12, err
