@@ -31,12 +31,32 @@ from stpy_tpu.config import as_array
 from stpy_tpu.linalg import chol_jittered, cho_solve
 
 
-def cg_solve(matvec, b, M_inv=None, tol=1e-8, maxiter=1000):
+def cg_solve(matvec, b, M_inv=None, tol=1e-8, maxiter=1000,
+             stall_window="auto"):
     """Preconditioned conjugate gradients; jit-safe while_loop. Returns
-    (x, iterations, residual_norm)."""
+    (x, iterations, residual_norm).
+
+    Stagnation stop: a tol below the f32 matvec noise floor (~sqrt(n)·eps
+    relative — at n=65k that is ~1e-5, measured as the r4 d=8 sum-kernel
+    stall at 1.3e-5) makes the residual wander around its floor forever.
+    Every `stall_window` iterations the loop checks that ‖r‖² at least
+    HALVED since the last checkpoint and exits otherwise. The factor-2
+    bar is far below any genuinely converging solve (even a 638-iteration
+    ill-conditioned f32 solve sheds ~10x in ‖r‖² per 100 iterations —
+    staircase plateaus included) but is never met while bouncing around
+    the noise floor. Callers detect the case as
+    (it < maxiter and residual > tol).
+
+    "auto" = 100 for f32 systems, OFF in f64 (CPU x64 runs): f64 CG on
+    ill-conditioned spectra can legitimately plateau for hundreds of
+    iterations before dropping — there is no noise floor anywhere near
+    typical tols. Pass an int to force a window, None to disable."""
     if M_inv is None:
         M_inv = lambda r: r
     b = jnp.asarray(b)
+    if stall_window == "auto":
+        stall_window = 100 if b.dtype == jnp.float32 else None
+    win = (1 << 30) if stall_window is None else int(stall_window)
     bnorm = jnp.linalg.norm(b)
 
     x0 = jnp.zeros_like(b)
@@ -45,13 +65,12 @@ def cg_solve(matvec, b, M_inv=None, tol=1e-8, maxiter=1000):
     p0 = z0
 
     def cond(state):
-        x, r, z, p, rz, it = state
-        return jnp.logical_and(
-            jnp.sqrt(jnp.vdot(r, r).real) > tol * bnorm, it < maxiter
-        )
+        x, r, z, p, rz, it, ckpt, since, stop = state
+        return (jnp.sqrt(jnp.vdot(r, r).real) > tol * bnorm) \
+            & (it < maxiter) & jnp.logical_not(stop)
 
     def body(state):
-        x, r, z, p, rz, it = state
+        x, r, z, p, rz, it, ckpt, since, stop = state
         Ap = matvec(p)
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
@@ -60,14 +79,21 @@ def cg_solve(matvec, b, M_inv=None, tol=1e-8, maxiter=1000):
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return x, r, z, p, rz_new, it + 1
+        rr = jnp.vdot(r, r).real
+        at_ckpt = since + 1 >= win
+        stop = at_ckpt & (rr > 0.5 * ckpt)
+        ckpt = jnp.where(at_ckpt, rr, ckpt)
+        since = jnp.where(at_ckpt, 0, since + 1)
+        return x, r, z, p, rz_new, it + 1, ckpt, since, stop
 
-    state = (x0, r0, z0, p0, jnp.vdot(r0, z0), jnp.asarray(0))
-    x, r, _, _, _, it = jax.lax.while_loop(cond, body, state)
+    state = (x0, r0, z0, p0, jnp.vdot(r0, z0), jnp.asarray(0),
+             jnp.vdot(r0, r0).real, jnp.asarray(0), jnp.asarray(False))
+    x, r, _, _, _, it, _, _, _ = jax.lax.while_loop(cond, body, state)
     return x, it, jnp.linalg.norm(r) / bnorm
 
 
-def cg_solve_block(matmat, B, M_inv=None, tol=1e-8, maxiter=1000):
+def cg_solve_block(matmat, B, M_inv=None, tol=1e-8, maxiter=1000,
+                   stall_window="auto"):
     """CG on r independent right-hand sides simultaneously — all inner
     products are per-column, the matvec is one BLOCK product (pairs with
     `make_lazy_matmat`: r ≤ 128 RHS cost ~one fused Gram pass). Converged
@@ -75,6 +101,9 @@ def cg_solve_block(matmat, B, M_inv=None, tol=1e-8, maxiter=1000):
     (applied to the (n, r) residual block — e.g. the pivoted-Cholesky
     preconditioner) turns this into block PCG. Returns (X, iters)."""
     B = jnp.asarray(B)
+    if stall_window == "auto":
+        stall_window = 100 if B.dtype == jnp.float32 else None
+    win = (1 << 30) if stall_window is None else int(stall_window)
     precond = M_inv is not None
     if M_inv is None:
         M_inv = lambda r: r
@@ -85,13 +114,12 @@ def cg_solve_block(matmat, B, M_inv=None, tol=1e-8, maxiter=1000):
     rr0 = jnp.sum(B * B, axis=0)
 
     def cond(state):
-        x, r, p, rz, rr, it = state
-        return jnp.logical_and(
-            jnp.any(jnp.sqrt(rr) > tol * bnorm), it < maxiter
-        )
+        x, r, p, rz, rr, it, ckpt, since, stop = state
+        return jnp.any(jnp.sqrt(rr) > tol * bnorm) & (it < maxiter) \
+            & jnp.logical_not(stop)
 
     def body(state):
-        x, r, p, rz, rr, it = state
+        x, r, p, rz, rr, it, ckpt, since, stop = state
         Ap = matmat(p)
         denom = jnp.sum(p * Ap, axis=0)
         active = jnp.sqrt(rr) > tol * bnorm
@@ -103,11 +131,93 @@ def cg_solve_block(matmat, B, M_inv=None, tol=1e-8, maxiter=1000):
         rr_new = jnp.sum(r * r, axis=0)
         beta = jnp.where(active, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         p = z + beta * p
-        return x, r, p, rz_new, rr_new, it + 1
+        # stagnation stop (see cg_solve): the worst still-active column's
+        # relative ‖r‖² must at least halve per `stall_window` iterations,
+        # else every active column sits at its f32 matvec noise floor
+        worst = jnp.max(jnp.where(active, rr_new / bnorm2, 0.0))
+        at_ckpt = since + 1 >= win
+        stop = at_ckpt & (worst > 0.5 * ckpt)
+        ckpt = jnp.where(at_ckpt, worst, ckpt)
+        since = jnp.where(at_ckpt, 0, since + 1)
+        return x, r, p, rz_new, rr_new, it + 1, ckpt, since, stop
 
-    state = (x0, B, z0, rz0, rr0, jnp.asarray(0))
-    x, r, _, _, _, it = jax.lax.while_loop(cond, body, state)
+    bnorm2 = jnp.maximum(bnorm * bnorm, 1e-30)
+    state = (x0, B, z0, rz0, rr0, jnp.asarray(0),
+             jnp.max(rr0 / bnorm2), jnp.asarray(0), jnp.asarray(False))
+    x, r, _, _, _, it, _, _, _ = jax.lax.while_loop(cond, body, state)
     return x, it
+
+
+def cg_solve_block_segmented(matmat, B, M_inv=None, tol=1e-8,
+                             maxiter=1000, segment=100):
+    """Block CG as a HOST loop of bounded-length device programs.
+
+    A single while_loop running hundreds of 65k-scale block products is
+    one XLA program executing for minutes — measured to kill the TPU
+    worker through this environment's tunnel ("TPU worker process
+    crashed or restarted", r4: the n=65,536 t=1024 exact-variance path;
+    30-iteration programs pass, 500-iteration programs die while eager
+    sequences of the same kernels run fine —
+    benchmarks/exp_r4_65k_crash_isolate*.py). This wrapper runs CG in
+    `segment`-iteration device programs and restarts from the current
+    iterate on host: one extra block product + one scalar readback per
+    segment (~1% overhead at these sizes), worst-case program length
+    bounded by `segment` products. Warm restart loses the Krylov
+    momentum at segment boundaries — a few extra iterations, not a
+    correctness change. Eager-only (host control flow); the variance
+    path calls it eagerly. Returns (X, total_iterations)."""
+    B = jnp.asarray(B)
+    bnorm = jnp.linalg.norm(B, axis=0)
+    bnorm_safe = jnp.maximum(bnorm, 1e-30)
+    X = jnp.zeros_like(B)
+    total = 0
+    best = (float("inf"), X)
+    prev_worst = float("inf")
+    while total < maxiter:
+        R = B - matmat(X) if total else B
+        worst = float(jnp.max(jnp.linalg.norm(R, axis=0) / bnorm_safe))
+        if worst < best[0]:
+            best = (worst, X)
+        if worst <= tol:
+            break
+        if worst > 0.5 * prev_worst:
+            # segment-level stagnation: at the f32 floor a restart
+            # SOLVES NOISE (R is mostly matvec error) and pushes X away
+            # from the best iterate — stop unless the last segment at
+            # least halved the worst column's relative residual
+            break
+        prev_worst = worst
+        dX, it = cg_solve_block(
+            matmat, R, M_inv=M_inv, tol=tol,
+            maxiter=min(segment, maxiter - total),
+            # the auto window (100) can never fire inside a
+            # `segment`-length program; half-segment keeps in-segment
+            # floor detection alive
+            stall_window=max(25, segment // 2),
+        )
+        X = X + dX
+        total += int(it)
+        if int(it) == 0:
+            break
+    return best[1] if best[0] < float("inf") else X, total
+
+
+def cg_solve_segmented(matvec, b, M_inv=None, tol=1e-8, maxiter=1000,
+                       segment=100):
+    """Single-RHS adapter over `cg_solve_block_segmented` (host loop of
+    bounded device programs — see that docstring for why). Returns
+    (x, iterations, residual_norm) like `cg_solve`; the residual is
+    recomputed with one extra matvec."""
+    b = jnp.asarray(b).reshape(-1)
+    X, it = cg_solve_block_segmented(
+        lambda V: matvec(V[:, 0])[:, None], b[:, None], M_inv=None
+        if M_inv is None else (lambda R: M_inv(R[:, 0])[:, None]),
+        tol=tol, maxiter=maxiter, segment=segment,
+    )
+    x = X[:, 0]
+    res = jnp.linalg.norm(b - matvec(x)) / jnp.maximum(
+        jnp.linalg.norm(b), 1e-30)
+    return x, it, res
 
 
 def resolve_precond_rank(rank, n: int) -> int:
@@ -731,27 +841,50 @@ class IterativeGP:
         self._matvec = matvec
         self._M_inv = M_inv
 
-        alpha, it, res = cg_solve(
-            matvec, y.ravel(), M_inv=M_inv, tol=self.tol,
-            maxiter=self.maxiter,
-        )
+        # segmented above 32k: one monolithic multi-hundred-iteration
+        # while_loop program at this scale runs long enough to kill the
+        # TPU worker through the tunnel (cg_solve_block_segmented)
+        if self.n > 32768:
+            alpha, it, res = cg_solve_segmented(
+                matvec, y.ravel(), M_inv=M_inv, tol=self.tol,
+                maxiter=self.maxiter,
+            )
+        else:
+            alpha, it, res = cg_solve(
+                matvec, y.ravel(), M_inv=M_inv, tol=self.tol,
+                maxiter=self.maxiter,
+            )
         self.A = alpha.reshape(-1, 1)
         self.cg_iterations = int(it)
         self.cg_residual = float(res)
         converged = self.cg_residual <= self.tol
+        stalled = (not converged) and self.cg_iterations < self.maxiter
+        self.cg_stalled = stalled
         if not converged and self.precision != "double":
             # failure detection as returned flags (SURVEY §5) — the dense
             # tier reports cholesky_ok; here the analogue is the inner
-            # solve hitting maxiter short of tol. In double mode the df
+            # solve stopping short of tol. In double mode the df
             # refinement absorbs a loose inner solve (rate = its relative
             # error; see df_residuals), so only the f32 tier warns.
-            warnings.warn(
-                f"IterativeGP CG hit maxiter={self.maxiter} at relative "
-                f"residual {self.cg_residual:.1e} (tol {self.tol:.1e}); "
-                "posterior accuracy is bounded by this residual — raise "
-                "maxiter/precond_rank or use precision='double'",
-                stacklevel=2,
-            )
+            if stalled:
+                warnings.warn(
+                    f"IterativeGP CG stagnated at relative residual "
+                    f"{self.cg_residual:.1e} after {self.cg_iterations} "
+                    f"iterations (tol {self.tol:.1e} is below the f32 "
+                    "matvec noise floor, ~sqrt(n)*eps relative); the "
+                    "posterior is as accurate as one f32 pass allows — "
+                    "use precision='double' for tighter solves",
+                    stacklevel=2,
+                )
+            else:
+                warnings.warn(
+                    f"IterativeGP CG hit maxiter={self.maxiter} at "
+                    f"relative residual {self.cg_residual:.1e} (tol "
+                    f"{self.tol:.1e}); posterior accuracy is bounded by "
+                    "this residual — raise maxiter/precond_rank or use "
+                    "precision='double'",
+                    stacklevel=2,
+                )
         if self.precision == "double":
             # iterative refinement with EXACT df residuals: converges at
             # rate ~ the inner PCG's relative error, so `df_refine_steps`
@@ -809,6 +942,7 @@ class IterativeGP:
             self._A_df = None
         self.fit_status = {
             "converged": bool(converged),
+            "stalled_at_floor": bool(stalled),
             "cg_iterations": self.cg_iterations,
             "cg_residual": self.cg_residual,
             "n": int(self.n),
@@ -858,9 +992,15 @@ class IterativeGP:
                 getattr(self, "_M_inv_block", None)
             quads = []
             B = K_star.T  # (n, t)
+            # above 32k: bounded-length device programs (a monolithic
+            # 500-iteration 65k block-CG program kills the TPU worker —
+            # see cg_solve_block_segmented); smaller systems keep the
+            # single-dispatch while_loop
+            solver = (cg_solve_block_segmented if self.n > 32768
+                      else cg_solve_block)
             for c0 in range(0, t, 128):
                 blk = B[:, c0:c0 + 128]
-                sol, _ = cg_solve_block(
+                sol, _ = solver(
                     mm, blk, M_inv=M_blk,
                     tol=self.tol, maxiter=self.maxiter,
                 )

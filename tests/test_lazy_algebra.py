@@ -614,8 +614,12 @@ def test_randomized_eig_precond_high_condition_f32():
     mv = lambda v: A @ v
     mm = lambda V: A @ V
     _, it0, res0 = cg_solve(mv, yv, tol=1e-6, maxiter=1500)
+    # unpreconditioned CG cannot reach tol here; the r4 stagnation stop
+    # ends it honestly at its f32 floor instead of wandering to maxiter
+    assert float(res0) > 1e-6, float(res0)
+    assert int(it0) < 1500, int(it0)
 
-    iters = [int(it0)]
+    iters = []
     for rank in (96, 192, 384):
         M_inv = randomized_eig_precond(mm, n, rank, jnp.float32(s),
                                        jax.random.PRNGKey(3))
@@ -628,14 +632,16 @@ def test_randomized_eig_precond_high_condition_f32():
         assert abs(sym) < 1e-3 * abs(q1)
         sol, it1, res1 = cg_solve(mv, yv, M_inv=M_inv, tol=1e-6,
                                   maxiter=1500)
+        # every rank reaches a residual the bare f32 solve cannot —
+        # that, not the raw iteration ratio vs a stall-stopped
+        # baseline, is the preconditioner's value on this system
         assert float(res1) < 1e-5, (rank, float(res1))
-        # every rank at least halves the unpreconditioned count...
-        assert int(it1) < int(it0) // 2, (rank, int(it1), int(it0))
+        assert int(it1) < int(it0), (rank, int(it1), int(it0))
         iters.append(int(it1))
     # ...and more rank strictly helps (the inverse-based lifts FAILED
     # exactly this: rank 2048 stalled while 512 and 4096 converged)
     assert iters == sorted(iters, reverse=True), iters
-    assert iters[-1] < int(it0) // 5, iters
+    assert iters[-1] < int(it0) // 3, (iters, int(it0))
 
 
 def test_rayleigh_nystrom_precond_high_condition_f32():
@@ -661,9 +667,14 @@ def test_rayleigh_nystrom_precond_high_condition_f32():
 
     mv = lambda v: A @ v
     mm = lambda V: A @ V
-    _, it0, _ = cg_solve(mv, yv, tol=1e-6, maxiter=1500)
+    _, it0, res0 = cg_solve(mv, yv, tol=1e-6, maxiter=1500)
+    # unpreconditioned CG cannot reach tol on this system: the r4
+    # stagnation stop ends it honestly at its f32 floor (measured:
+    # 700 iters, residual 9.7e-6) instead of wandering toward maxiter
+    assert float(res0) > 1e-6, float(res0)
+    assert int(it0) < 1500, int(it0)
 
-    iters = [int(it0)]
+    iters = []
     for rank in (96, 192, 384):
         idx = np.asarray(
             rng.choice(n, rank, replace=False), np.int32)
@@ -672,13 +683,15 @@ def test_rayleigh_nystrom_precond_high_condition_f32():
         M_inv = rayleigh_nystrom_precond(C, mm, jnp.float32(s))
         sol, it1, res1 = cg_solve(mv, yv, M_inv=M_inv, tol=1e-6,
                                   maxiter=1500)
-        # every rank CONVERGES (the pre-cap construction diverged) ...
-        assert float(res1) < 1e-5, (rank, float(res1))
-        assert int(it1) < int(0.8 * int(it0)), (rank, int(it1), int(it0))
+        # every rank CONVERGES BELOW TOL — the value of the
+        # preconditioner here is reaching the tolerance the bare f32
+        # solve cannot, not merely fewer iterations (the pre-cap
+        # construction diverged outright on this system)
+        assert float(res1) < 1e-6, (rank, float(res1))
         iters.append(int(it1))
     # ... more rank strictly helps, and the largest rank accelerates hard
     assert iters == sorted(iters, reverse=True), iters
-    assert iters[-1] < int(it0) // 3, iters
+    assert iters[-1] < int(it0) // 2, (iters, int(it0))
 
 
 def test_iterative_gp_fit_status_flags():
@@ -788,3 +801,55 @@ def test_block_cg_variance_all_tiers_and_auto_rank():
                                    atol=5e-6, err_msg=name)
         np.testing.assert_allclose(np.asarray(sd), np.asarray(sd_r),
                                    atol=5e-6, err_msg=name)
+
+
+def test_cg_stagnation_stop_and_segmented_solvers():
+    """r4 65k-defaults regressions: (1) an f32 CG with tol below the
+    matvec noise floor must STOP at the floor (stagnation detector)
+    instead of burning maxiter; (2) the segmented solvers (host loop of
+    bounded device programs — the monolithic 65k program killed the TPU
+    worker) must match the monolithic result and stop early at the
+    floor, returning the best iterate."""
+    from stpy_tpu.parallel.iterative import (cg_solve, cg_solve_block,
+                                             cg_solve_block_segmented,
+                                             cg_solve_segmented)
+
+    rng = np.random.default_rng(5)
+    n, r = 512, 32
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    A = jnp.asarray(Q @ np.diag(rng.uniform(0.5, 80, n)) @ Q.T,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((n, r)), jnp.float32)
+    mv, mm = (lambda v: A @ v), (lambda V: A @ V)
+
+    # (1) unreachable tol: the f32 floor here is ~1e-7 relative; the
+    # detector must end the solve long before maxiter
+    x, it, res = cg_solve(mv, b, tol=1e-30, maxiter=100000)
+    assert int(it) < 1000, int(it)
+    assert float(res) < 1e-5, float(res)
+
+    # f64 systems keep the old semantics (no detector): reachable tol
+    x64, it64, res64 = cg_solve(lambda v: jnp.asarray(A, jnp.float64) @ v,
+                                jnp.asarray(b, jnp.float64), tol=1e-12,
+                                maxiter=100000)
+    assert float(res64) <= 1e-12
+
+    # (2) segmented == monolithic quality at a reachable tol
+    X1, _ = cg_solve_block(mm, B, tol=1e-6, maxiter=2000)
+    X2, it2 = cg_solve_block_segmented(mm, B, tol=1e-6, maxiter=2000,
+                                       segment=40)
+    r1 = float(jnp.linalg.norm(A @ X1 - B) / jnp.linalg.norm(B))
+    r2 = float(jnp.linalg.norm(A @ X2 - B) / jnp.linalg.norm(B))
+    assert r2 < max(3 * r1, 3e-6), (r1, r2)
+
+    # floor case: stops early, best iterate is still floor-accurate
+    X3, it3 = cg_solve_block_segmented(mm, B, tol=1e-30, maxiter=100000,
+                                       segment=40)
+    assert int(it3) < 2000, int(it3)
+    r3 = float(jnp.linalg.norm(A @ X3 - B) / jnp.linalg.norm(B))
+    assert r3 < 1e-5, r3
+
+    xs, its, ress = cg_solve_segmented(mv, b, tol=1e-6, maxiter=2000,
+                                       segment=40)
+    assert float(ress) < 3e-6, float(ress)

@@ -20,8 +20,15 @@ a TPU takes compensated arithmetic, exposed as two knobs on
                        those atoms.
   var_refine=1         (with precision="double") replaces the predictive-
                        variance triangular solve with a fused df quadratic
-                       form q = Σ W0 ⊙ (B + R) whose error is SECOND order
-                       in the solve residual: var max ~3e-6 relative.
+                       form q = Σ W0 ⊙ (B + R) on an EXACT integer-sliced
+                       (ozaki) main product: var max ≤1e-6 relative for
+                       every df family (r4; benchmarks/RESULTS.md).
+
+Kernels outside the fused df atoms (gibbs, polynomial, tanh, spectral,
+custom maps, …) run precision="double" through the GENERIC df tier — a
+jaxpr interpreter that re-executes the kernel's own trace in (hi, lo)
+double-float (ops/df_interp.py); only data-dependent-control-flow
+kernels (general-nu Bessel matern) raise.
 
 On CPU under x64 (this script) the same code paths run against an exact
 f64 fallback with identical semantics, so the demo executes anywhere:
