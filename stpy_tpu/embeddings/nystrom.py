@@ -131,12 +131,63 @@ class NystromFeatures(Embedding):
         raise AssertionError(self.approx)
 
     # -- fit -------------------------------------------------------------------
+    def _build_jits(self):
+        """One compiled program per phase (r5, VERDICT task 1): the r4
+        eager pipeline paid ~40-80 small tunnel dispatches per fit+predict
+        — the 512-sized Cholesky/solve chain alone measured 1.3-2.7 s
+        rep-to-rep for <1 ms of FLOPs (benchmarks/exp_r5_config3_probe.py),
+        which was the whole config-3 wall AND its 1.27 s IQR. Fused, the
+        same math is 2 dispatches."""
+        ko = self.kernel_object
+        eps = 1e-14
+
+        def fit_sub(pd, x, y, C, w, s):
+            xs = x[C]                       # landmark gather, on device
+            Dw = jnp.diag(w)
+            Kl = Dw @ ko.eval_params(pd, xs, xs) @ Dw
+            D, V = jnp.linalg.eigh(Kl)
+            Dinv = jnp.where(D > eps,
+                             1.0 / jnp.sqrt(jnp.clip(D, eps, None)), 0.0)
+            Wmat = Dw @ (V * Dinv[None, :])          # (ms, ms)
+            emb = ko.eval_params(pd, x, xs) @ Wmat   # (N, ms)
+            K = emb.T @ emb + s * s * jnp.eye(self.ms, dtype=x.dtype)
+            L = safe_cholesky(K).L
+            theta = cho_solve(L, emb.T @ y)
+            return xs, Wmat, emb, K, L, theta
+
+        def factor(emb, y, s):
+            K = emb.T @ emb + s * s * jnp.eye(emb.shape[1], dtype=emb.dtype)
+            L = safe_cholesky(K).L
+            theta = cho_solve(L, emb.T @ y)
+            return K, L, theta
+
+        def predict_sub(pd, xs, Wmat, L, theta, xtest, s):
+            emb_t = ko.eval_params(pd, xtest, xs) @ Wmat
+            ymean = emb_t @ theta
+            temp = cho_solve(L, emb_t.T)
+            diag = s * s * jnp.einsum("ij,ji->i", emb_t, temp)
+            return ymean, jnp.sqrt(jnp.clip(diag, 0))[:, None]
+
+        def predict_emb(emb_t, L, theta, s):
+            ymean = emb_t @ theta
+            temp = cho_solve(L, emb_t.T)
+            diag = s * s * jnp.einsum("ij,ji->i", emb_t, temp)
+            return ymean, jnp.sqrt(jnp.clip(diag, 0))[:, None]
+
+        self._fit_sub_jit = jax.jit(fit_sub)
+        self._factor_jit = jax.jit(factor)
+        self._predict_sub_jit = jax.jit(predict_sub)
+        self._predict_emb_jit = jax.jit(predict_emb)
+
     def fit_gp(self, x, y, eps=1e-14):
         x = as_array(x)
         y = as_array(y).reshape(-1, 1) if y is not None else None
         self.x, self.y = x, y
         self.N, self.d = x.shape
         ko = self.kernel_object
+        if getattr(self, "_fit_sub_jit", None) is None:
+            self._build_jits()
+        self._xs = self._Wmat = None
 
         if self.approx == "svd":
             self.xs = x
@@ -178,19 +229,33 @@ class NystromFeatures(Embedding):
 
             self._embed = _embed
         else:
-            C, w = self.subsample(x, y)
-            xs = x[C]
-            Dw = jnp.diag(w)
-            K = Dw @ ko.gram(xs) @ Dw
-            D, V = jnp.linalg.eigh(K)
-            Dinv = jnp.where(D > eps, 1.0 / jnp.sqrt(jnp.clip(D, eps, None)), 0.0)
-            M = (V * Dinv[None, :])
-            self._embed = lambda q: (ko.cross(q, xs) @ Dw) @ M
-            self.C = np.asarray(C)
+            if self.approx == "uniform":
+                # the choice itself is one small device program; the gather,
+                # landmark Gram, eigh, 50k cross-embed, QᵀQ, Cholesky and
+                # theta-solve all run inside ONE jitted program (r5 task 1)
+                self.key, sub = jax.random.split(self.key)
+                C = jax.random.choice(sub, self.N, (self.ms,), replace=False)
+                w = jnp.ones(self.ms, default_dtype())
+            else:
+                C, w = self.subsample(x, y)
+                C = jnp.asarray(C)
+            yfit = y if y is not None else x[:, :1] * 0
+            xs, Wmat, emb, K, L, theta = self._fit_sub_jit(
+                ko.params_dict, x, yfit, C, w,
+                jnp.asarray(self.s, x.dtype))
+            self._xs, self._Wmat = xs, Wmat
+            self._embed = lambda q: ko.cross(q, xs) @ Wmat
+            self.C = C
+            self.Q = emb.T
+            self.K, self._L, self._theta = K, L, theta
+            self.fitted = True
+            return None
 
         emb = self._embed(x)
+        yfit = y if y is not None else x[:, :1] * 0
         self.Q = emb.T
-        self.K = emb.T @ emb + self.s**2 * jnp.eye(self.ms, dtype=x.dtype)
+        self.K, self._L, self._theta = self._factor_jit(
+            emb, yfit, jnp.asarray(self.s, x.dtype))
         self.fitted = True
         return None
 
@@ -199,14 +264,14 @@ class NystromFeatures(Embedding):
 
     def mean_std(self, xtest):
         assert self.fitted, "First fit"
+        xtest = as_array(xtest)
+        s = jnp.asarray(self.s, xtest.dtype)
+        if self._xs is not None:
+            return self._predict_sub_jit(
+                self.kernel_object.params_dict, self._xs, self._Wmat,
+                self._L, self._theta, xtest, s)
         emb = self.embed(xtest)
-        Q = self.embed(self.x)
-        L = safe_cholesky(self.K).L
-        theta_mean = cho_solve(L, Q.T @ self.y)
-        ymean = emb @ theta_mean
-        temp = cho_solve(L, emb.T)
-        diag = self.s**2 * jnp.einsum("ij,ji->i", emb, temp)
-        return ymean, jnp.sqrt(jnp.clip(diag, 0))[:, None]
+        return self._predict_emb_jit(emb, self._L, self._theta, s)
 
     def outer_kernel(self):
         emb = self.embed(self.x)
@@ -219,8 +284,9 @@ class NystromFeatures(Embedding):
         z = jax.random.normal(key, (self.ms, size), default_dtype())
         if not self.fitted:
             return z
-        L = safe_cholesky(self.K).L
-        theta_mean = cho_solve(L, self.Q @ self.y)
+        # reuse the factor/theta cached by fit_gp (the r4 re-factorization
+        # per call was pure dispatch overhead)
+        L, theta_mean = self._L, self._theta
         # posterior covariance s² K^{-1}
         Linv_z = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
         return theta_mean + self.s * Linv_z
