@@ -256,24 +256,30 @@ def _qform_kernel(s2_ref, th_ref, tl_ref, w0k_ref, w0a_ref, bh_ref, bl_ref,
     jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret",
                               "main_precision")
 )
-def _qform_pallas(Th, Tl, W0, Bh, Bl, s2, *, block_m: int, block_n: int,
-                  block_k: int, interpret: bool,
+def _qform_pallas(Th, Tl, W0k, W0a, Bh, Bl, s2, *, block_m: int,
+                  block_n: int, block_k: int, interpret: bool,
                   main_precision=jax.lax.Precision.HIGHEST):
-    n, t = W0.shape
-    import math
+    """General (possibly rectangular) form: Th/Tl are (c, n) row strips of
+    the df Gram, W0k is the FULL (n, t) solve (contraction operand), W0a /
+    Bh / Bl are the strip's (c, t) rows (elementwise operands). The square
+    call passes c == n and W0k is W0a. Output (8, tpad) partial sums over
+    THIS strip's rows — the chunked caller df-folds strips."""
+    c, n = Th.shape
+    t = W0k.shape[1]
 
-    npad = _round_up(n, math.lcm(block_m, block_k))
+    cpad = _round_up(c, block_m)
+    npad = _round_up(n, block_k)
     tpad = _round_up(t, block_n)
 
-    def padnn(a):
-        return jnp.pad(a, ((0, npad - n), (0, npad - n)))
+    Thp = jnp.pad(Th, ((0, cpad - c), (0, npad - n)))
+    Tlp = jnp.pad(Tl, ((0, cpad - c), (0, npad - n)))
+    W0kp = jnp.pad(W0k, ((0, npad - n), (0, tpad - t)))
 
-    def padnt(a):
-        return jnp.pad(a, ((0, npad - n), (0, tpad - t)))
+    def padct(a):
+        return jnp.pad(a, ((0, cpad - c), (0, tpad - t)))
 
-    Thp, Tlp = padnn(Th), padnn(Tl)
-    W0p, Bhp, Blp = padnt(W0), padnt(Bh), padnt(Bl)
-    jt_s, at_s, kt_s = tpad // block_n, npad // block_m, npad // block_k
+    W0ap, Bhp, Blp = padct(W0a), padct(Bh), padct(Bl)
+    jt_s, at_s, kt_s = tpad // block_n, cpad // block_m, npad // block_k
 
     kern = functools.partial(_qform_kernel, k_steps=kt_s, barriers=interpret,
                              main_precision=main_precision)
@@ -322,13 +328,13 @@ def _qform_pallas(Th, Tl, W0, Bh, Bl, s2, *, block_m: int, block_n: int,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=7 * npad * npad * tpad,   # bf16x6 main + 1 lo pass, 2mnk/2
-            bytes_accessed=4 * (2 * npad * npad * jt_s
-                                + 3 * npad * tpad * at_s),
+            flops=7 * cpad * npad * tpad,   # bf16x6 main + 1 lo pass, 2mnk/2
+            bytes_accessed=4 * (2 * cpad * npad * jt_s
+                                + (npad + 3 * cpad) * tpad * at_s),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(s2.reshape(1, 1).astype(jnp.float32), Thp, Tlp, W0p, W0p, Bhp, Blp)
+    )(s2.reshape(1, 1).astype(jnp.float32), Thp, Tlp, W0kp, W0ap, Bhp, Blp)
 
     # fold the 8 sublane partials in barrier-guarded df (tiny: (8, t))
     two_sum, fast_two_sum, _, _ = _make_eft(True)
@@ -342,15 +348,17 @@ def _qform_pallas(Th, Tl, W0, Bh, Bl, s2, *, block_m: int, block_n: int,
     return oh[:t], ol[:t]
 
 
-def _qform_f64(Th, Tl, W0, Bh, Bl, s2):
+def _qform_f64(Th, Tl, W0k, W0a, Bh, Bl, s2):
     """Exact f64 evaluation of the same estimate (CPU-x64 test contract):
-    q̃ = Σ_a W0 ⊙ (2B − A·W0 − s²W0), returned as an (hi, lo) split in the
-    input dtype."""
+    q̃ = Σ_a W0a ⊙ (2B − Th·W0k − s²W0a), returned as an (hi, lo) split in
+    the input dtype. Rectangular (row-strip) form; square callers pass
+    W0k twice."""
     A = Th.astype(jnp.float64) + Tl.astype(jnp.float64)
-    W = W0.astype(jnp.float64)
+    Wk = W0k.astype(jnp.float64)
+    Wa = W0a.astype(jnp.float64)
     B = Bh.astype(jnp.float64) + Bl.astype(jnp.float64)
-    u = 2.0 * B - A @ W - s2.astype(jnp.float64) * W
-    q = jnp.sum(W * u, axis=0)
+    u = 2.0 * B - A @ Wk - s2.astype(jnp.float64) * Wa
+    q = jnp.sum(Wa * u, axis=0)
     hi = q.astype(jnp.float32).astype(jnp.float64)
     dt = jnp.asarray(Th).dtype
     return hi.astype(dt), (q - hi).astype(dt)
@@ -372,6 +380,22 @@ def qform_refined(Th, Tl, W0, Bh, Bl, s, *, block_m=512, block_n=512,
     shrinking tiles, which was measured to make the scoped footprint
     WORSE (bk=256 → 20.75 MiB vs bk=512 → 18.76 MiB) while cutting the
     HIGHEST main product's MXU efficiency."""
+    return qform_refined_strip(
+        Th, Tl, W0, W0, Bh, Bl, s, block_m=block_m, block_n=block_n,
+        block_k=block_k, interpret=interpret,
+        main_precision=main_precision,
+    )
+
+
+def qform_refined_strip(Th, Tl, W0k, W0a, Bh, Bl, s, *, block_m=512,
+                        block_n=512, block_k=512, interpret=None,
+                        main_precision="ozaki"):
+    """Row-strip form of `qform_refined` for matrix-free (beyond-HBM)
+    variance (r5, VERDICT task 5): Th/Tl are the (c, n) df Gram rows of
+    ONE row chunk, W0k the full (n, t) solve, W0a/Bh/Bl the chunk's (c, t)
+    rows. Returns this strip's PARTIAL (qh, ql) column sums; callers
+    df-fold strips with TwoSum (the decomposition over rows is exact —
+    q = Σ_strips Σ_{a∈strip} W0[a] ⊙ (2B − A·W0 − s²W0)[a])."""
     Th = jnp.asarray(Th)
     s2 = jnp.asarray(s) ** 2
     on_tpu = jax.default_backend() == "tpu"
@@ -380,11 +404,11 @@ def qform_refined(Th, Tl, W0, Bh, Bl, s, *, block_m=512, block_n=512,
     if (not on_tpu) and (not interpret) and not jax.config.jax_enable_x64:
         interpret = True
     if (not on_tpu) and jax.config.jax_enable_x64 and not interpret:
-        return _qform_f64(Th, Tl, W0, Bh, Bl, s2)
+        return _qform_f64(Th, Tl, W0k, W0a, Bh, Bl, s2)
     f32 = jnp.float32
     return _qform_pallas(
-        Th.astype(f32), jnp.asarray(Tl, f32), jnp.asarray(W0, f32),
-        jnp.asarray(Bh, f32), jnp.asarray(Bl, f32), s2,
-        block_m=block_m, block_n=block_n, block_k=block_k,
+        Th.astype(f32), jnp.asarray(Tl, f32), jnp.asarray(W0k, f32),
+        jnp.asarray(W0a, f32), jnp.asarray(Bh, f32), jnp.asarray(Bl, f32),
+        s2, block_m=block_m, block_n=block_n, block_k=block_k,
         interpret=bool(interpret), main_precision=main_precision,
     )

@@ -456,6 +456,54 @@ def nystrom_precond_from_cross(C, idx, noise, shift=1e-5):
     return lowrank_eigen_precond(B, noise)
 
 
+def _make_df_gemv_sharded(kernel_object, desc, mesh, axis, df_chunk):
+    """Row-sharded EXACT df GEMV (hi+lo of K(a, b)·(vh+vl)) over a mesh:
+    each device sweeps its (rows/p, n_b) strip of the (hi, lo) Gram in
+    df_chunk tiles (df_gram_from_desc + gemv_df, the same arithmetic as
+    the single-chip chunked tier) with b/vh/vl replicated — the sharding
+    pattern of `make_chunked_matvec_sharded` applied to the double-float
+    residual/mean GEMVs, which is what extends `precision="double"` beyond
+    one chip (r5, VERDICT task 4; parity: gauss_procc.py:152 — the torch
+    reference is f64 at any n it can hold)."""
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    from stpy_tpu.kernels.df_plan import df_gram_from_desc
+    from stpy_tpu.ops.compensated import gemv_df
+
+    p = mesh.shape[axis]
+
+    @_ft.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    def local_rows(a_local, b, vh, vl):
+        outs_h, outs_l = [], []
+        c = min(df_chunk, a_local.shape[0])
+        for r0 in range(0, a_local.shape[0], c):
+            Kh, Kl = df_gram_from_desc(
+                kernel_object, {}, a_local[r0:r0 + c], b, desc)
+            Ph, Pl = gemv_df(Kh, Kl, vh, vl=vl)
+            outs_h.append(Ph)
+            outs_l.append(Pl)
+        if len(outs_h) == 1:
+            return outs_h[0], outs_l[0]
+        return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
+
+    def df_gemv(a, b, vh, vl):
+        n = a.shape[0]
+        pad = (-n) % p
+        ap = jnp.pad(a, ((0, pad), (0, 0))) if pad else a
+        hh, ll = local_rows(ap, b, jnp.asarray(vh).reshape(-1),
+                            jnp.asarray(vl).reshape(-1))
+        return hh[:n], ll[:n]
+
+    return df_gemv
+
+
 class IterativeGP:
     """Large-n exact-GP inference by preconditioned CG over a mesh.
 
@@ -466,7 +514,7 @@ class IterativeGP:
     def __init__(self, kernel_object, s=0.1, mesh=None, axis="tp",
                  tol=1e-6, maxiter=500, lazy=False,
                  chunk=2048, precond_rank="auto", precision="single",
-                 df_refine_steps=2, df_chunk=4096):
+                 df_refine_steps=2, df_chunk=4096, var_refine=1):
         self.kernel_object = kernel_object
         self.s = s
         self.mesh = mesh
@@ -491,24 +539,30 @@ class IterativeGP:
         # transient), carry alpha as a df pair, and evaluate the posterior
         # MEAN with a chunked exact df cross-GEMV. Converges at rate =
         # the inner CG's relative error (`tol`), so 1-2 steps land on the
-        # df floor. Variance stays f32/CG-grade (the dense tier's
-        # var_refine needs a factorization). df kernel families only
-        # (kernels/df_plan.py); lazy single-chip path (mesh=None).
+        # df floor. With a mesh (r5, VERDICT task 4) the df residual/mean
+        # GEMVs shard over the same row axis as the f32 matvec
+        # (_make_df_gemv_sharded): each device sweeps its (n/p, n) row
+        # strip of the (hi, lo) Gram in df_chunk tiles, so f64-class
+        # posteriors are no longer a single-chip-only capability.
+        # Variance: `var_refine` steps of df-residual-refined block solves
+        # + df quadratic forms (r5, VERDICT task 5) — see mean_std.
+        # df kernel families only (kernels/df_plan.py).
         # Parity: gauss_procc.py:152 — f64 posterior for every kernel.
         if precision not in ("single", "double"):
             raise ValueError(
                 f"precision must be single|double, got {precision}")
-        if precision == "double" and mesh is not None:
-            # fail at construction, not after a (possibly minutes-long at
-            # 65k-scale) sharded CG solve completes and the df refinement
-            # branch first asks for the df descriptor
-            raise NotImplementedError(
-                "precision='double' runs on the single-chip path "
-                "(mesh=None); the mesh tiers are f32"
-            )
         self.precision = precision
         self.df_refine_steps = max(0, int(df_refine_steps))
         self.df_chunk = int(df_chunk)
+        # var_refine (double mode, exact-variance path): number of
+        # df-residual refinement steps applied to each 128-RHS block solve
+        # before the row-chunked df quadratic form — the matrix-free
+        # counterpart of the dense tier's var_refine (r5, VERDICT task 5;
+        # parity: gauss_procc.py:391-399, f64 predictive variance).
+        # 0 = f32/CG-grade variance (the r4 behavior). Mesh double runs
+        # keep f32-grade variance for now (the df mean/residual GEMVs are
+        # sharded; the strip qform is single-chip).
+        self.var_refine = max(0, int(var_refine))
         self._A_df = None
         self.fitted = False
 
@@ -564,11 +618,19 @@ class IterativeGP:
         """EXACT df K(a, b)·(vh + vl), row-chunked: per chunk one (hi, lo)
         Pallas Gram + one exact df GEMV — the (df_chunk, n) pair is a
         transient, never a stored Gram. Returns (hi, lo) of shape
-        (len(a),)."""
+        (len(a),). With a mesh the row sweep shards over the same axis as
+        the f32 matvec (one strip per device — _make_df_gemv_sharded)."""
         from stpy_tpu.kernels.df_plan import df_gram_from_desc
         from stpy_tpu.ops.compensated import gemv_df
 
         ko = self.kernel_object
+        if self.mesh is not None:
+            if getattr(self, "_df_gemv_sharded", None) is None:
+                self._df_gemv_sharded = _make_df_gemv_sharded(
+                    ko, desc, self.mesh, self.axis, self.df_chunk)
+            return self._df_gemv_sharded(
+                a, b, vh, jnp.zeros_like(jnp.asarray(vh)) if vl is None
+                else vl)
         outs_h, outs_l = [], []
         c = self.df_chunk
         for r0 in range(0, a.shape[0], c):
@@ -974,12 +1036,24 @@ class IterativeGP:
         Hutchinson probes (unbiased but noisy; for very large test sets)."""
         xtest = as_array(xtest)
         mu = self.mean(xtest)
-        K_star = self.kernel_object.cross(xtest, self.x)
-        kss = self.kernel_object.diag(xtest)
         t = xtest.shape[0]
         method = method or ("exact" if t <= exact_threshold else "hutchinson")
 
         M_inv = getattr(self, "_M_inv", None)
+        if (method == "exact" and self.precision == "double"
+                and self.var_refine > 0 and self.mesh is None):
+            # df-refined matrix-free variance (r5, VERDICT task 5):
+            # better-than-f32 predictive variance beyond dense HBM — the
+            # df path builds its own df cross-Gram, so the f32 K_star
+            # below is skipped entirely
+            solver = (cg_solve_block_segmented if self.n > 32768
+                      else cg_solve_block)
+            M_blk = M_inv if (self.lazy and self.mesh is None) else \
+                getattr(self, "_M_inv_block", None)
+            return mu, self._std_exact_df(xtest, solver, self._matmat,
+                                          M_blk)
+        K_star = self.kernel_object.cross(xtest, self.x)
+        kss = self.kernel_object.diag(xtest)
         if method == "exact":
             # block CG on EVERY tier: 128 columns per block product (one
             # fused multi-RHS Gram pass on the lazy tiers, one row-sharded
@@ -990,14 +1064,14 @@ class IterativeGP:
             mm = self._matmat
             M_blk = M_inv if (self.lazy and self.mesh is None) else \
                 getattr(self, "_M_inv_block", None)
-            quads = []
-            B = K_star.T  # (n, t)
             # above 32k: bounded-length device programs (a monolithic
             # 500-iteration 65k block-CG program kills the TPU worker —
             # see cg_solve_block_segmented); smaller systems keep the
             # single-dispatch while_loop
             solver = (cg_solve_block_segmented if self.n > 32768
                       else cg_solve_block)
+            quads = []
+            B = K_star.T  # (n, t)
             for c0 in range(0, t, 128):
                 blk = B[:, c0:c0 + 128]
                 sol, _ = solver(
@@ -1024,6 +1098,97 @@ class IterativeGP:
         est = jnp.mean(jax.vmap(probe)(keys), axis=0)
         var = jnp.clip(kss - est, 1e-12)
         return mu, jnp.sqrt(var)[:, None]
+
+    def _std_exact_df(self, xtest, solver, mm, M_blk):
+        """Matrix-free DOUBLE-FLOAT predictive std (r5, VERDICT task 5 —
+        parity: gauss_procc.py:391-399, the reference's f64 variance at
+        any n it can hold).
+
+        Per 128-column block of B = K(x, xtest):
+          1. f32 block (P)CG solve W ≈ (K + σ²I)⁻¹ Bh — accuracy capped at
+             the f32 matvec noise floor (~√n·eps relative);
+          2. `var_refine` df-residual refinement steps: R = B − K·W − σ²W
+             with the (hi, lo) row-chunked Gram and compensated products
+             (ops/compensated.df_gemm — error ~√chunk·eps of gross, 1-2
+             orders under the f32 CG floor), then one more block solve on
+             R — the residual after the step is bounded by the df product
+             error, not the CG floor;
+          3. the row-strip df quadratic form (ops/pallas_qform_df.
+             qform_refined_strip — the dense tier's ozaki kernel over
+             (df_chunk, n) Gram strips, df-folded across strips):
+             q = Σ W ⊙ (2B − K·W − σ²W) is second-order in W's remaining
+             residual and its arithmetic is exact;
+          4. var = (k** − q) evaluated in df — k** from the df Gram diag,
+             so the catastrophic cancellation k** − q happens between two
+             double-float quantities.
+
+        Never materializes a dense Gram: every step sweeps (df_chunk, n)
+        strips. Cost ≈ (1 + 2·var_refine) df Gram sweeps + (1 + var_refine)
+        block CG solves per 128 columns."""
+        from stpy_tpu.kernels.df_plan import df_gram_from_desc
+        from stpy_tpu.ops.compensated import df_gemm
+        from stpy_tpu.ops.pallas_gram_df import _two_prod, _two_sum
+        from stpy_tpu.ops.pallas_qform_df import qform_refined_strip
+
+        desc = self._df_desc()
+        ko = self.kernel_object
+        x = self.x
+        n, t = x.shape[0], xtest.shape[0]
+        c = self.df_chunk
+        s = jnp.asarray(self.s, x.dtype)
+        s2h, s2e = _two_prod(s, s)
+
+        # df cross-Gram B = K(x, xtest): (n, t) pair, built in row strips
+        Bh_p, Bl_p = [], []
+        for r0 in range(0, n, c):
+            Kh, Kl = df_gram_from_desc(ko, {}, x[r0:r0 + c], xtest, desc)
+            Bh_p.append(Kh)
+            Bl_p.append(Kl)
+        Bh, Bl = jnp.concatenate(Bh_p), jnp.concatenate(Bl_p)
+
+        # df prior diag k**(xtest)
+        kh_p, kl_p = [], []
+        for r0 in range(0, t, 512):
+            xt = xtest[r0:r0 + 512]
+            Dh, Dl = df_gram_from_desc(ko, {}, xt, xt, desc)
+            kh_p.append(jnp.diagonal(Dh))
+            kl_p.append(jnp.diagonal(Dl))
+        kss_h, kss_l = jnp.concatenate(kh_p), jnp.concatenate(kl_p)
+
+        stds = []
+        for c0 in range(0, t, 128):
+            bh, bl = Bh[:, c0:c0 + 128], Bl[:, c0:c0 + 128]
+            W, _ = solver(mm, bh, M_inv=M_blk, tol=self.tol,
+                          maxiter=self.maxiter)
+            for _ in range(self.var_refine):
+                Rp = []
+                for r0 in range(0, n, c):
+                    Kh, Kl = df_gram_from_desc(ko, {}, x[r0:r0 + c], x,
+                                               desc)
+                    Ph, Pl = df_gemm(Kh, Kl, W)
+                    Wl = W[r0:r0 + c]
+                    rh, re = _two_sum(bh[r0:r0 + c], -Ph)
+                    Rp.append(rh + (re + bl[r0:r0 + c] - Pl
+                                    - (s2h * Wl + s2e * Wl)))
+                R = jnp.concatenate(Rp)
+                dW, _ = solver(mm, R, M_inv=M_blk, tol=self.tol,
+                               maxiter=self.maxiter)
+                W = W + dW
+            qh = ql = None
+            for r0 in range(0, n, c):
+                Kh, Kl = df_gram_from_desc(ko, {}, x[r0:r0 + c], x, desc)
+                ph, pl = qform_refined_strip(
+                    Kh, Kl, W, W[r0:r0 + c], bh[r0:r0 + c], bl[r0:r0 + c],
+                    s)
+                if qh is None:
+                    qh, ql = ph, pl
+                else:
+                    nh, e = _two_sum(qh, ph)
+                    qh, ql = nh, ql + (e + pl)
+            vh, ve = _two_sum(kss_h[c0:c0 + 128], -qh)
+            var = jnp.clip(vh + ((ve + kss_l[c0:c0 + 128]) - ql), 1e-12)
+            stds.append(jnp.sqrt(var))
+        return jnp.concatenate(stds)[:, None]
 
     def sample_pathwise(self, xtest, embedding, size=1, key=None):
         """Matheron pathwise sampling with CG data correction — prior from

@@ -134,7 +134,7 @@ def test_qform_pallas_kernel_matches_f64():
 
     qh_i, ql_i = mod.qform_refined(Kf, zK, Wf, Bf, zB, s, block_m=128,
                                    block_n=128, block_k=128, interpret=True)
-    fh, fl = mod._qform_f64(Kf, zK, Wf, Bf, zB, s ** 2)
+    fh, fl = mod._qform_f64(Kf, zK, Wf, Wf, Bf, zB, s ** 2)
     got = np.asarray(qh_i, np.float64) + np.asarray(ql_i, np.float64)
     want = np.asarray(fh, np.float64) + np.asarray(fl, np.float64)
     # the kernel's floor is the WITHIN-TILE rounding of the HIGHEST
