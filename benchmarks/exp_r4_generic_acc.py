@@ -38,7 +38,8 @@ def host_posterior(k64, xh, yh, xt, s):
     return mu, var
 
 
-def run(name, mk, k64):
+def run(name, mk, k64, expect_generic=True):
+    from stpy_tpu.kernels.df_plan import df_atom_desc
     from stpy_tpu.models import GaussianProcess
 
     rng = np.random.default_rng(0)
@@ -48,6 +49,13 @@ def run(name, mk, k64):
     mu64, var64 = host_posterior(k64, xh, yh, xt, S)
 
     gp = GaussianProcess(kernel=mk(), s=S, precision="double", var_refine=1)
+    # r5 (VERDICT task 2): assert the df_plan ROUTING this run exercises —
+    # the named families must actually take the generic jaxpr-interpreter
+    # tier, not a fused fast path
+    fams = [f for (_, f, _, _, _, _) in df_atom_desc(gp.kernel_object)]
+    if expect_generic:
+        assert "generic" in fams, (name, fams)
+    print(f"{name:12s} df_plan atom families: {fams}", flush=True)
     x, y, xtj = (jnp.asarray(xh, jnp.float32), jnp.asarray(yh, jnp.float32),
                  jnp.asarray(xt, jnp.float32))
     t0 = time.perf_counter()
@@ -62,10 +70,24 @@ def run(name, mk, k64):
     mrel = (np.abs(np.asarray(mu, np.float64).ravel() - mu64).max()
             / np.abs(mu64).max())
     vrel = np.abs(np.asarray(sd, np.float64).ravel() ** 2 - var64) / var64
-    print(f"{name:12s} mean rel {mrel:.2e}  var max {vrel.max():.2e} "
-          f"med {np.median(vrel):.2e}  warm {warm:.2f}s (cold {cold:.1f}s)",
-          flush=True)
     del gp
+    # f32-tier wall on the same kernel/workload — the generic-df tier's
+    # cost multiple (the docstring's "~5-10x" claim, measured at last)
+    gps = GaussianProcess(kernel=mk(), s=S)
+    mu1, sd1 = gps.fit_predict(x, y, xtj)
+    float(jnp.sum(sd1))
+    t0 = time.perf_counter()
+    mu1, sd1 = gps.fit_predict(x, y, xtj)
+    float(jnp.sum(sd1))
+    warm_f32 = time.perf_counter() - t0
+    m32 = (np.abs(np.asarray(mu1, np.float64).ravel() - mu64).max()
+           / np.abs(mu64).max())
+    print(f"{name:12s} mean rel {mrel:.2e}  var max {vrel.max():.2e} "
+          f"med {np.median(vrel):.2e}  warm {warm:.2f}s (cold {cold:.1f}s) "
+          f"| f32 tier: warm {warm_f32:.2f}s mean rel {m32:.2e} "
+          f"| double/f32 cost x{warm / max(warm_f32, 1e-9):.1f}",
+          flush=True)
+    del gps
 
 
 def main():
@@ -96,6 +118,14 @@ def main():
                  + KernelFunction(kernel_name="linear", d=D)),
         lambda a, b: (np.exp(-((a[:, None, :] - b[None, :, :]) ** 2
                                ).sum(-1) / (2 * 0.49)) + a @ b.T))
+    # fused-tier comparison row (same n/d, pure fused Pallas df atom) —
+    # the generic tier's cost multiple vs the FUSED df tier, not only f32
+    run("se (fused)",
+        lambda: KernelFunction(kernel_name="squared_exponential",
+                               gamma=0.7, d=D),
+        lambda a, b: np.exp(-((a[:, None, :] - b[None, :, :]) ** 2
+                              ).sum(-1) / (2 * 0.49)),
+        expect_generic=False)
     print("R4_GENERIC_ACC_DONE", flush=True)
 
 

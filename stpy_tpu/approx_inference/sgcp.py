@@ -302,6 +302,165 @@ class SGCPVariational:
             float(acc),
         )
 
+    # -- deterministic corrected bands (r5, VERDICT task 7) --------------------
+    def _elbo_extended(self, theta, Lq_fixed):
+        """ELBO as a function of the MEAN parameters θ = [m, log λ*, log c]
+        with the variational covariance Lq FROZEN at the VI optimum and a
+        kernel-amplitude multiplier c on the g marginals — the objective
+        whose curvature defines the linear-response covariance.
+
+        Crucially this is the ELBO, not the raw log posterior: the
+        Gauss-Hermite expectations integrate over q's g-spread, so the
+        curvature stays honest where the sigmoid saturates (a raw-MAP
+        Laplace collapses there: the likelihood is flat in g, the prior
+        drags the mode down, and the v–c degeneracy leaves the Hessian
+        indefinite — measured, r5)."""
+        gh_x, gh_w = self._gh
+        M = self.M
+        m, log_lam, log_c = theta[:M], theta[M], theta[M + 1]
+        lam = jnp.exp(log_lam)
+        c = jnp.exp(log_c)
+
+        def marginals(Kxz, kdiag):
+            A = tri_solve(self.Lz, Kxz.T, lower=True)
+            mu = c * (A.T @ m)
+            SA = Lq_fixed.T @ A
+            var = (c * c) * jnp.clip(
+                kdiag - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0),
+                1e-10)
+            return mu, var
+
+        data = 0.0
+        if self.X is not None:
+            mu_o, var_o = marginals(self.Kxz_obs, self.kdiag_obs)
+            g = mu_o[:, None] + jnp.sqrt(var_o)[:, None] * gh_x[None, :]
+            data = jnp.sum(gh_w[None, :] * (-jax.nn.softplus(-g))) \
+                + self.X.shape[0] * log_lam
+        mu_i, var_i = marginals(self.Kxz_int, self.kdiag_int)
+        g = mu_i[:, None] + jnp.sqrt(var_i)[:, None] * gh_x[None, :]
+        e_sig = jnp.sum(gh_w[None, :] * jax.nn.sigmoid(g), axis=1)
+        integral = lam * jnp.sum(self.int_w * e_sig)
+        # m-dependent KL part + N(0,1) prior on log c (the trace/logdet
+        # KL terms are constants in θ here)
+        kl = 0.5 * (m @ m) + 0.5 * log_c * log_c
+        return data - integral - kl
+
+    def rate_bands_linear_response(self, xtest, delta=0.1, newton_steps=20):
+        """(δ, 1−δ) bands from the LINEAR-RESPONSE covariance at the VI
+        optimum — deterministic, no MCMC, one (M+2)×(M+2) Hessian.
+
+        Why the factorized band under-covers (~0.55 at nominal 0.80,
+        benchmarks/exp_r4_sgcp_cal.py): mean-field q drops (a) posterior
+        correlations between inducing values and (b) ALL uncertainty in
+        λ* and the kernel amplitude c — the ELBO treats both as point
+        estimates. Linear response (Giordano–Broderick–Jordan style)
+        recovers exactly those terms: perturbing log p by tᵀθ moves the
+        VI optimum by Σ_LR·t with Σ_LR = (−∇²_θ ELBO)⁻¹ over the MEAN
+        parameters θ = [m, log λ*, log c] (variational covariance frozen
+        — `_elbo_extended`), so Σ_LR is the response covariance of the
+        fit. Total predictive spread = q's own marginal variance PLUS the
+        delta-method propagation of Σ_LR (g = c·aᵀm is bilinear, Jacobian
+        exact), plus the off-inducing-span conditional variance; quantiles
+        of λ*σ(g) come off a weighted 2-D Gauss-Hermite lattice over the
+        joint (g, log λ*) Gaussian — closed-form cheap and PRNG-free. The
+        HMC band (`rate_bands_mcmc`) remains the nominal standard; this is
+        the calibrated CHEAP tier (parity: poisson_rate_estimator.py:
+        916-926, sampled quantile bands)."""
+        M = self.M
+        Lq_fixed = jnp.tril(self.params["L_raw"]) + jnp.eye(
+            M, dtype=self.params["m"].dtype)
+        nF = lambda t: -self._elbo_extended(t, Lq_fixed)
+        theta = jnp.concatenate(
+            [self.params["m"], self.params["log_lam"].reshape(1),
+             jnp.zeros((1,), self.params["m"].dtype)]
+        )
+
+        # damped Newton to the joint optimum (the VI fit is its stationary
+        # point in m and log λ*; log c re-optimizes in a couple of steps)
+        @jax.jit
+        def newton_step(th):
+            g = jax.grad(nF)(th)
+            H = jax.jacfwd(jax.grad(nF))(th)
+            H = 0.5 * (H + H.T) + 1e-6 * jnp.eye(
+                th.shape[0], dtype=th.dtype)
+            lam_e, V_e = jnp.linalg.eigh(H)
+            lam_e = jnp.maximum(lam_e, 1e-5)      # PSD-guarded step
+            step = V_e @ ((V_e.T @ g) / lam_e)
+            cands = jnp.stack([th - s * step for s in (1.0, 0.5, 0.25)])
+            vals = jax.vmap(nF)(cands)
+            best = jnp.argmin(vals)
+            better = vals[best] < nF(th)
+            return jnp.where(better, cands[best], th)
+
+        for _ in range(max(1, newton_steps)):
+            theta = newton_step(theta)
+        H = jax.jacfwd(jax.grad(nF))(theta)
+        H = 0.5 * (H + H.T)
+        # PSD-guarded inverse: clip the response spectrum at a small
+        # positive floor (a soft direction means a near-flat ELBO — the
+        # response there is capped, not infinite/negative)
+        lam_e, V_e = jnp.linalg.eigh(H)
+        lam_e = jnp.maximum(lam_e, 1e-5)
+        Sigma = (V_e / lam_e[None, :]) @ V_e.T
+
+        m_opt, log_c = theta[:M], theta[M + 1]
+        c = jnp.exp(log_c)
+
+        xtest = as_array(xtest).reshape(-1, self.d)
+        Kxz = self.kernel_object.cross(xtest, self.Z)
+        kd = self.kernel_object.diag(xtest)
+        A = tri_solve(self.Lz, Kxz.T, lower=True)           # (M, t)
+        SA = Lq_fixed.T @ A
+        # q's own marginal variance of g (the MFVI band's spread) ...
+        var_q = (c * c) * jnp.clip(
+            kd - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0), 0.0)
+
+        g_mean = c * (A.T @ m_opt)                          # (t,)
+        # ... plus the linear-response covariance of the FIT, propagated
+        # through the exact Jacobian of g = c·aᵀm: [c·a (m rows), 0 (ℓ),
+        # g (log c)]; ℓ = log λ* is coordinate M
+        Jg_v = c * A                                        # (M, t)
+        SvJ = Sigma[:M, :M] @ Jg_v                          # (M, t)
+        var_g = (
+            var_q
+            + jnp.sum(Jg_v * SvJ, axis=0)
+            + 2.0 * g_mean * (Sigma[:M, M + 1] @ Jg_v)
+            + g_mean**2 * Sigma[M + 1, M + 1]
+        )
+        cov_gl = Sigma[:M, M] @ Jg_v + g_mean * Sigma[M + 1, M]
+        var_l = Sigma[M, M]
+        l_mean = theta[M]
+
+        # quantiles of exp(ℓ)·σ(g) over the per-point 2-D Gaussian by a
+        # weighted tensor Gauss-Hermite lattice (16×16): sort node values,
+        # accumulate weights, pick the δ / 1−δ crossings — deterministic
+        gx, gw = _gauss_hermite(16)
+        z1 = jnp.repeat(gx, gx.shape[0])
+        z2 = jnp.tile(gx, gx.shape[0])
+        wts = (gw[:, None] * gw[None, :]).ravel()
+        sd_g = jnp.sqrt(jnp.clip(var_g, 1e-12))
+        rho = jnp.clip(
+            cov_gl / jnp.maximum(sd_g * jnp.sqrt(jnp.maximum(
+                var_l, 1e-12)), 1e-12), -0.999, 0.999)
+        g_nodes = g_mean[:, None] + sd_g[:, None] * z1[None, :]
+        l_nodes = l_mean + jnp.sqrt(jnp.maximum(var_l, 1e-12)) * (
+            rho[:, None] * z1[None, :]
+            + jnp.sqrt(jnp.clip(1 - rho**2, 1e-12, None))[:, None]
+            * z2[None, :]
+        )
+        rate = jnp.exp(l_nodes) * jax.nn.sigmoid(g_nodes)   # (t, 256)
+
+        order = jnp.argsort(rate, axis=1)
+        sorted_rate = jnp.take_along_axis(rate, order, axis=1)
+        sorted_w = jnp.cumsum(wts[order], axis=1)
+
+        def pick(q):
+            idx = jnp.argmax(sorted_w >= q, axis=1)
+            return jnp.take_along_axis(
+                sorted_rate, idx[:, None], axis=1)[:, 0]
+
+        return pick(delta), pick(1.0 - delta)
+
     @property
     def lam_max(self):
         return float(jnp.exp(self.params["log_lam"]))

@@ -259,6 +259,16 @@ def test_sgcp_recovers_known_sigmoidal_cox_rate():
     assert np.all(hi > lo)
     cover = np.mean((true >= lo - 1e-6) & (true <= hi + 1e-6))
     assert cover > 0.25, cover
+    # r5 (VERDICT task 7): the deterministic linear-response band closes
+    # the MFVI under-dispersion WITHOUT sampling — measured 0.875 ± 0.102
+    # over 8 seeds at the nominal 0.80 band, per-seed min 0.75
+    # (benchmarks/exp_r5_sgcp_cal.py; MFVI 0.547, HMC 0.783). Bar: ≥0.6
+    # on this seed and wider than the factorized band.
+    lo_l, hi_l = sg.rate_bands_linear_response(xt, delta=0.1)
+    lo_l, hi_l = np.asarray(lo_l).ravel(), np.asarray(hi_l).ravel()
+    cover_lr = np.mean((true >= lo_l - 1e-6) & (true <= hi_l + 1e-6))
+    assert cover_lr >= 0.6, cover_lr
+    assert (hi_l - lo_l).mean() > (hi - lo).mean()
     # r3/r4 (VERDICT r3 task 7): the HMC-corrected bands sample the true
     # (non-factorized) sparse posterior and must restore calibration.
     # Measured across 8 independent realizations the nominal 0.80 band
