@@ -1,0 +1,137 @@
+"""Round-5 TPU batch — matrix-free df variance done-bar (VERDICT r5
+task 5) + the mesh-double p=1 real-chip sanity wall (task 4).
+
+1. n=32,768: `IterativeGP(precision='double', var_refine=1)` variance
+   cross-checked against the DENSE double tier's refined variance
+   (both fit on one chip) at 1,024 test points — bar: ≤1e-6-class
+   relative agreement.
+2. n=65,536 (beyond dense HBM): the lazy-double fit + mean_std walls
+   recorded at 128 test points.
+3. n=16,384 p=1 real-chip mesh-double sanity: IterativeGP
+   (precision='double', mesh=1-device) fit + mean wall, vs the
+   single-chip (mesh=None) double tier's mean.
+
+Run on the TPU host: timeout 7200 python benchmarks/exp_r5_lazy_double_var.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+D, S = 8, 0.2
+
+
+def force(*xs):
+    for x in xs:
+        float(jnp.sum(jnp.abs(jnp.asarray(x).astype(jnp.float32))))
+
+
+def mkk():
+    from stpy_tpu.kernels import KernelFunction
+
+    return (KernelFunction(kernel_name="squared_exponential", gamma=0.5,
+                           d=D)
+            + KernelFunction(kernel_name="matern", gamma=1.0, nu=1.5, d=D))
+
+
+def main():
+    from stpy_tpu.models import GaussianProcess
+    from stpy_tpu.parallel import IterativeGP
+
+    rng = np.random.default_rng(0)
+
+    # --- 1. n=32k: lazy-double variance vs dense-double variance --------
+    n, t = 32768, 1024
+    x = jnp.asarray(rng.uniform(-1, 1, (n, D)), jnp.float32)
+    y = jnp.asarray(np.sin(3 * np.asarray(x)[:, :1]), jnp.float32)
+    xt = jnp.asarray(rng.uniform(-1, 1, (t, D)), jnp.float32)
+
+    gp = GaussianProcess(kernel=mkk(), s=S, precision="double",
+                         var_refine=1, jitter_ladder=False)
+    t0 = time.perf_counter()
+    mu_d, sd_d = gp.fit_predict(x, y, xt)
+    force(sd_d)
+    print(f"dense-double n={n} t={t}: fit+predict "
+          f"{time.perf_counter() - t0:.1f}s inc compile", flush=True)
+    mu_d, sd_d = np.asarray(mu_d, np.float64), np.asarray(sd_d, np.float64)
+    del gp
+
+    ig = IterativeGP(mkk(), s=S, lazy=True, precision="double",
+                     var_refine=1, tol=1e-6, maxiter=400)
+    t0 = time.perf_counter()
+    ig.fit_gp(x, y)
+    force(ig.A)
+    fit_w = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mu_l, sd_l = ig.mean_std(xt)
+    force(sd_l)
+    ms_w = time.perf_counter() - t0
+    mu_l, sd_l = np.asarray(mu_l, np.float64), np.asarray(sd_l, np.float64)
+    dv = np.abs(sd_l.ravel() ** 2 - sd_d.ravel() ** 2) / (sd_d.ravel() ** 2)
+    dm = np.max(np.abs(mu_l - mu_d)) / np.max(np.abs(mu_d))
+    print(f"lazy-double n={n}: fit {fit_w:.1f}s, mean_std({t}) {ms_w:.1f}s "
+          f"(inc compile) | vs dense-double: mean rel {dm:.2e}, "
+          f"var rel max {dv.max():.2e} med {np.median(dv):.2e}", flush=True)
+    print(f"  fit_status: {ig.fit_status}", flush=True)
+    del ig
+
+    # --- 2. n=65,536: beyond-HBM walls ----------------------------------
+    n2, t2 = 65536, 128
+    x2 = jnp.asarray(rng.uniform(-1, 1, (n2, D)), jnp.float32)
+    y2 = jnp.asarray(np.sin(3 * np.asarray(x2)[:, :1]), jnp.float32)
+    xt2 = jnp.asarray(rng.uniform(-1, 1, (t2, D)), jnp.float32)
+    ig2 = IterativeGP(mkk(), s=S, lazy=True, precision="double",
+                      var_refine=1, tol=1e-6, maxiter=400)
+    t0 = time.perf_counter()
+    ig2.fit_gp(x2, y2)
+    force(ig2.A)
+    fit2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mu2, sd2 = ig2.mean_std(xt2)
+    force(sd2)
+    ms2 = time.perf_counter() - t0
+    ok = bool(np.all(np.isfinite(np.asarray(sd2))))
+    print(f"lazy-double n={n2}: fit {fit2:.1f}s, df-variance mean_std"
+          f"({t2}) {ms2:.1f}s (inc compile), finite={ok}, "
+          f"df residuals {ig2.df_residuals}", flush=True)
+    del ig2
+
+    # --- 3. n=16,384 p=1 real-chip mesh-double sanity (task 4) ----------
+    n3 = 16384
+    x3 = jnp.asarray(rng.uniform(-1, 1, (n3, D)), jnp.float32)
+    y3 = jnp.asarray(np.sin(3 * np.asarray(x3)[:, :1]), jnp.float32)
+    xt3 = jnp.asarray(rng.uniform(-1, 1, (256, D)), jnp.float32)
+    single = IterativeGP(mkk(), s=S, lazy=True, precision="double",
+                         tol=1e-6, maxiter=400)
+    single.fit_gp(x3, y3)
+    mu_s = np.asarray(single.mean(xt3), np.float64)
+    del single
+    mesh = Mesh(np.array(jax.devices()[:1]), ("tp",))
+    with mesh:
+        im = IterativeGP(mkk(), s=S, mesh=mesh, axis="tp", lazy=True,
+                         precision="double", tol=1e-6, maxiter=400)
+        t0 = time.perf_counter()
+        im.fit_gp(x3, y3)
+        force(im.A)
+        fit3 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mu_m = im.mean(xt3)
+        force(mu_m)
+        mean3 = time.perf_counter() - t0
+    dm3 = (np.max(np.abs(np.asarray(mu_m, np.float64) - mu_s))
+           / np.max(np.abs(mu_s)))
+    print(f"mesh-double p=1 n={n3}: fit {fit3:.1f}s, mean(256) {mean3:.1f}s"
+          f" (inc compile) | vs single-chip double mean: rel {dm3:.2e}",
+          flush=True)
+    print("R5_LAZY_DOUBLE_VAR_DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -64,9 +64,9 @@ from stpy_tpu.point_processes.rate_estimator import RateEstimator
 
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
+@functools.partial(jax.jit, static_argnames=("max_iter", "warm"))
 def _map_count_record_lbfgs(phis, observations, mult, invG_half, s, l, u,
-                            w0, max_iter=3000):
+                            w0, max_iter=3000, G_half=None, warm=False):
     """Jit-stable count-record MAP solve (sigmoid-reparam L-BFGS on the box).
 
     Module-level jit with the data as ARGUMENTS: together with the
@@ -75,9 +75,15 @@ def _map_count_record_lbfgs(phis, observations, mult, invG_half, s, l, u,
     of re-tracing the solver every round. The Γ^{-1/2} projections of
     phis/observations and the final rate happen INSIDE this one program
     (r4: each was its own eager dispatch before — 3 x the ~31 ms tunnel
-    floor on BASELINE config 4). xtol stops the while_loop once steps
-    stop moving w (~1e2-2e2 iterations here; r3 measured fitted totals
-    identical at caps 1000/1500/3000, i.e. long-converged)."""
+    floor on BASELINE config 4). With warm=True, `w0` is the PREVIOUS
+    fitted rate and the warm-start projection w0 ← G_half·rate also runs
+    inside (r5, VERDICT task 6: the eager warm-start matmul was one more
+    ~31 ms dispatch per refit on a microsecond-FLOP problem). xtol stops
+    the while_loop once steps stop moving w (~1e2-2e2 iterations here; r3
+    measured fitted totals identical at caps 1000/1500/3000, i.e.
+    long-converged)."""
+    if warm:
+        w0 = G_half @ w0
     phis_raw = phis @ invG_half
     obs_raw = observations @ invG_half
     eps = 1e-4
@@ -301,7 +307,12 @@ class PoissonRateEstimator(RateEstimator):
 
     # -- constraints / covariance of the basis ---------------------------------
     def get_constraints(self):
-        return self.packing.get_constraints()
+        # cached: the box (l, Λ, u) depends only on (b, B, m), and the
+        # eager jnp.full/eye constructions were 3 device dispatches per
+        # warm refit on a microsecond-FLOP problem (r5, VERDICT task 6)
+        if getattr(self, "_constraints_cache", None) is None:
+            self._constraints_cache = self.packing.get_constraints()
+        return self._constraints_cache
 
     def cov(self, inverse=False):
         return self.packing.cov(inverse=inverse)
@@ -436,13 +447,24 @@ class PoissonRateEstimator(RateEstimator):
         if not self.dual:
             if self.observations is not None:
                 mult = self.obs_multiplicities
-                w0 = self._warm_start_w(G_half)
-                if w0 is None:
-                    w0 = jnp.full((self.get_m(),), 0.1, default_dtype())
+                # warm refit: hand the PREVIOUS rate straight to the jitted
+                # solve (warm=True runs the G_half projection inside) — the
+                # eager warm-start matmul was a separate ~31 ms tunnel
+                # dispatch per refit (r5, VERDICT task 6)
+                warm = self.rate is not None
+                if warm:
+                    w0 = self.rate.reshape(-1)
+                else:
+                    if getattr(self, "_w0_cold", None) is None:
+                        self._w0_cold = jnp.full(
+                            (self.get_m(),), 0.1, default_dtype())
+                    w0 = self._w0_cold
+                if getattr(self, "_s_dev", None) is None:
+                    self._s_dev = jnp.asarray(self.s, default_dtype())
                 _, self.rate = _map_count_record_lbfgs(
                     self.phis, self.observations, mult, invG_half,
-                    jnp.asarray(self.s, default_dtype()), l, u, w0,
-                    max_iter=self.map_max_iter,
+                    self._s_dev, l, u, w0,
+                    max_iter=self.map_max_iter, G_half=G_half, warm=warm,
                 )
                 return self.rate
             phis_raw = self.phis @ invG_half  # rounds x m, includes dt
