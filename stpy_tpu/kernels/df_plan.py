@@ -16,8 +16,10 @@ Two tiers per atom:
     (the torch reference is float64 end-to-end for EVERY kernel,
     stpy/continuous_processes/gauss_procc.py:152,367-399).
 Atoms whose trace contains a primitive the interpreter has no df rule
-for (e.g. while_loop in the Bessel general-ν matern) still raise — an
-honest capability boundary, now listing the blocking primitives.
+for still raise, listing the blocking primitives. Since r5 no shipped
+kernel family hits that boundary: general-ν matern (Bessel K_ν by fixed
+trapezoid quadrature, kernels/functions.py:bessel_kv) is scatter-free
+and routes through the generic tier like any other jnp atom.
 """
 
 from __future__ import annotations

@@ -85,8 +85,13 @@ def bessel_kv(nu, x, T=24.0, n_quad=384):
     Replaces scipy.special.kv (used at stpy/kernels.py:852-858) on device."""
     x = jnp.asarray(x)
     t = jnp.linspace(0.0, T, n_quad).astype(x.dtype)
-    w = jnp.full((n_quad,), T / (n_quad - 1), x.dtype)
-    w = w.at[0].mul(0.5).at[-1].mul(0.5)
+    # endpoint halving via where (not .at[].mul): keeps the trace free of
+    # scatter primitives so the df interpreter (ops/df_interp.py) can run
+    # general-nu matern under precision="double"
+    i = jnp.arange(n_quad)
+    w = jnp.where((i == 0) | (i == n_quad - 1), 0.5, 1.0).astype(x.dtype) * (
+        T / (n_quad - 1)
+    )
     z = nu * t
     logcosh = jnp.abs(z) + jnp.log1p(jnp.exp(-2.0 * jnp.abs(z))) - math.log(2.0)
     # (..., n_quad) broadcast: exponent = -x cosh t + logcosh(nu t)

@@ -537,7 +537,13 @@ def _eval_jaxpr_df(jaxpr, consts, in_pairs):
             else:
                 outs = [_ARITH[name](*ins)]
         elif name in _CMP:
-            outs = [(_CMP[name](_val(ins[0]), _val(ins[1])), None)]
+            # lax compares don't promote; jaxpr literals can carry a wider
+            # int dtype than the traced operand (e.g. int64 literal vs an
+            # int32 iota) — harmonize first
+            a, b = _val(ins[0]), _val(ins[1])
+            ct = jnp.result_type(a, b)
+            outs = [(_CMP[name](jnp.asarray(a, ct), jnp.asarray(b, ct)),
+                     None)]
         elif name == "select_n":
             outs = [_select_pair(ins[0], *ins[1:])]
         elif name == "reduce_sum":

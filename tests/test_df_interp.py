@@ -99,6 +99,11 @@ def _kernels_catalogue():
         ("spectral", KernelFunction(
             kernel_name="spectral", d=d,
             freq=rng.standard_normal((8, d))), d),
+        # general-ν matern: Bessel K_ν by fixed trapezoid quadrature
+        # (kernels/functions.py:bessel_kv) — scatter-free since r5, the
+        # last kernel-family gap vs the f64 reference (stpy/kernels.py:852)
+        ("matern_nu1.2", KernelFunction(kernel_name="matern",
+                                        nu=1.2, gamma=0.5, d=d), d),
     ]
 
 
@@ -129,13 +134,14 @@ def test_generic_df_gram_matches_f64(name, k, d):
     assert err < 5e-8, (name, err)
 
 
-def test_generic_df_missing_reports_blocking_primitives():
-    """General-ν Matérn (Bessel K_ν by quadrature with data-dependent
-    control flow) must report its inexpressible primitives rather than
-    silently degrade."""
+def test_general_nu_matern_df_expressible():
+    """General-ν Matérn is df-expressible since r5: bessel_kv's trapezoid
+    endpoint halving went scatter-free (where-mask instead of .at[].mul)
+    and the interpreter's compare rule harmonizes literal/iota dtypes —
+    the LAST kernel family the double tier rejected. Reference is f64
+    there via scipy.special.kv (stpy/kernels.py:852-858)."""
     k = KernelFunction(kernel_name="matern", nu=1.2, gamma=0.5, d=2)
-    missing = generic_df_missing(k)
-    assert missing, "expected general-ν matern to be inexpressible"
+    assert generic_df_missing(k) == set()
 
 
 # ---------------------------------------------------------------------------
