@@ -34,6 +34,7 @@ def minimize_lbfgs(
     rtol: float = 0.0,
     xtol: float = 0.0,
     max_linesearch_steps: int = 30,
+    step_clip: float | None = None,
 ) -> LBFGSResult:
     """Minimize `fun` (flat-vector -> scalar) starting from x0. jit/vmap-safe.
 
@@ -41,6 +42,14 @@ def minimize_lbfgs(
     decrease only — a much smaller XLA program, ~3x faster compiles for the
     vmapped-restart hyperopt; quality is usually equivalent with L-BFGS
     scaling).
+
+    step_clip: if set, iterates are clipped to [-step_clip, step_clip]
+    elementwise after every step. For sigmoid/tanh box reparameterizations
+    this is the saturation guard: in f32, sigmoid(z) rounds to exactly 1.0
+    past z≈17, the coordinate's gradient dies, and the solver dead-ends at
+    a non-optimum (measured on the config-4 MAP cold fit,
+    benchmarks/exp_r5_backtrack_debug.py). logit(1-1e-4)≈9.21 keeps every
+    coordinate alive at a bound-resolution of 1e-4·span.
 
     Stopping: ||g|| <= tol (absolute) OR ||g|| <= rtol·(1+|f|) OR
     ||Δx||_∞ <= xtol·(1+||x||_∞). rtol/xtol default OFF (0.0) to preserve
@@ -53,6 +62,7 @@ def minimize_lbfgs(
             fun, x0, max_iter=max_iter, tol=tol, memory_size=memory_size,
             rtol=rtol, xtol=xtol,
             max_linesearch_steps=max_linesearch_steps,
+            step_clip=step_clip,
         )
     if linesearch == "backtracking":
         opt = optax.lbfgs(
@@ -88,6 +98,8 @@ def minimize_lbfgs(
         )
         dx = jnp.max(jnp.abs(jax.tree.leaves(updates)[0]))
         x = optax.apply_updates(x, updates)
+        if step_clip is not None:
+            x = jnp.clip(x, -step_clip, step_clip)
         gnorm = jnp.linalg.norm(grad)
         return x, state, it + 1, gnorm, value, dx
 
@@ -104,7 +116,7 @@ def minimize_lbfgs(
 
 def _minimize_lbfgs_batched_ls(
     fun, x0, *, max_iter, tol, memory_size, rtol, xtol,
-    max_linesearch_steps,
+    max_linesearch_steps, step_clip=None,
 ):
     """L-BFGS with a BATCHED backtracking linesearch — the TPU dispatch-
     depth variant.
@@ -125,6 +137,16 @@ def _minimize_lbfgs_batched_ls(
     Direction from `optax.scale_by_lbfgs` (returns +H⁻¹g; negated here —
     its memory uses actual param/grad diffs, so the η scaling below stays
     consistent). Armijo c1 = 1e-4, matching optax's backtracking default.
+
+    Stall handling (r5): when NO candidate passes Armijo the old code took
+    η = 2^-30 — a ~1e-9 step whose dx fired the xtol stop at a non-optimum
+    (the config-4 MAP cold fit stalled at total 12.6 vs 5.0; a warm restart
+    with FRESH memory from the same point kept descending, proving stale
+    curvature pairs were the blocker — benchmarks/exp_r5_backtrack_debug.py).
+    Now an Armijo failure takes the greedy-best candidate if it improves f,
+    RESETS the L-BFGS memory (next direction = steepest descent), and does
+    not count toward xtol; two consecutive no-improvement dead-ends stop
+    the loop as converged-at-this-precision.
     """
     precond = optax.scale_by_lbfgs(memory_size=memory_size)
     etas = 0.5 ** jnp.arange(max_linesearch_steps, dtype=x0.dtype)
@@ -142,11 +164,13 @@ def _minimize_lbfgs_batched_ls(
     vag = jax.value_and_grad(fun)
 
     def cond(carry):
-        x, state, it, gnorm, val, dx = carry
-        return jnp.logical_and(it < max_iter, ~_done(x, gnorm, val, dx))
+        x, state, it, gnorm, val, dx, fails = carry
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iter, fails < 2),
+            ~_done(x, gnorm, val, dx))
 
     def body(carry):
-        x, state, it, _, _, _ = carry
+        x, state, it, _, _, _, fails = carry
         f, g = vag(x)
         d, state = precond.update(g, state, x)
         d = -d                                   # descent direction
@@ -159,22 +183,51 @@ def _minimize_lbfgs_batched_ls(
         cand = jax.vmap(lambda e: fun(x + e * d))(etas)
         ok = jnp.logical_and(
             cand <= f + c1 * etas * gd, jnp.isfinite(cand))
+        any_ok = jnp.any(ok)
+        # greedy rescue needs a decrease ABOVE the f32 rounding floor of f,
+        # else near-convergence noise (|Δf| ~ eps·|f|) resets the dead-end
+        # counter forever and refits burn all max_iter iterations
+        eps_f = 8 * jnp.finfo(x.dtype).eps * (1.0 + jnp.abs(f))
+        greedy_improves = jnp.logical_and(
+            jnp.isfinite(cand).any(),
+            jnp.nanmin(jnp.where(jnp.isfinite(cand), cand, jnp.inf))
+            < f - eps_f)
         # argmax picks the FIRST True = the largest passing step
-        eta = jnp.where(jnp.any(ok), etas[jnp.argmax(ok)], etas[-1])
+        eta_armijo = etas[jnp.argmax(ok)]
+        eta_greedy = etas[jnp.argmin(
+            jnp.where(jnp.isfinite(cand), cand, jnp.inf))]
+        eta = jnp.where(any_ok, eta_armijo,
+                        jnp.where(greedy_improves, eta_greedy,
+                                  jnp.zeros((), x.dtype)))
         step = eta * d
         x_new = x + step
+        if step_clip is not None:
+            x_new = jnp.clip(x_new, -step_clip, step_clip)
+        # Armijo failure → memory is stale: reinit so the next direction is
+        # steepest descent, and exempt this step from the xtol stop
+        fresh = precond.init(x_new)
+        state = jax.tree.map(
+            lambda s_new, s_old: jnp.where(any_ok, s_old, s_new),
+            fresh, state)
         gnorm = jnp.linalg.norm(g)
-        dx = jnp.max(jnp.abs(step))
-        return x_new, state, it + 1, gnorm, f, dx
+        inf = jnp.asarray(jnp.inf, x.dtype)
+        # dx = ACTUAL movement (post-clip): a step that only pushes already
+        # clipped coordinates further out moves nothing and must count as
+        # converged, not as progress
+        dx = jnp.where(any_ok, jnp.max(jnp.abs(x_new - x)), inf)
+        fails = jnp.where(jnp.logical_or(any_ok, greedy_improves),
+                          0, fails + 1)
+        return x_new, state, it + 1, gnorm, f, dx, fails
 
     state0 = precond.init(x0)
     v0 = fun(x0)
     inf = jnp.asarray(jnp.inf, x0.dtype)
-    carry = (x0, state0, jnp.asarray(0), inf, v0, inf)
-    x, state, it, gnorm, _, dx = jax.lax.while_loop(cond, body, carry)
+    carry = (x0, state0, jnp.asarray(0), inf, v0, inf, jnp.asarray(0))
+    x, state, it, gnorm, _, dx, fails = jax.lax.while_loop(cond, body, carry)
     vf = fun(x)
     return LBFGSResult(x=x, value=vf, iterations=it,
-                       converged=_done(x, gnorm, vf, dx))
+                       converged=jnp.logical_or(
+                           _done(x, gnorm, vf, dx), fails >= 2))
 
 
 def minimize_newton_small(

@@ -79,9 +79,15 @@ def _map_count_record_lbfgs(phis, observations, mult, invG_half, s, l, u,
     fitted rate and the warm-start projection w0 ← G_half·rate also runs
     inside (r5, VERDICT task 6: the eager warm-start matmul was one more
     ~31 ms dispatch per refit on a microsecond-FLOP problem). xtol stops
-    the while_loop once steps stop moving w (~1e2-2e2 iterations here; r3
-    measured fitted totals identical at caps 1000/1500/3000, i.e.
-    long-converged)."""
+    the while_loop once steps stop moving w; the BATCHED Armijo linesearch
+    evaluates all 30 step candidates in one vmapped call, so each L-BFGS
+    iteration is sequential depth 2 instead of 1 + zoom depth — on a
+    microsecond-FLOP m≈64 problem the while_loop body latency is the whole
+    device wall, and this cut the config-4 amortized solve ~64 ms → ~10 ms
+    at the same box optimum (benchmarks/exp_r5_config4.py; optax's
+    sequential backtracking variant stalled on stale curvature pairs and
+    failed the fit-quality gate — exp_r5_backtrack_debug.py). Reference:
+    scipy L-BFGS-B in-process (stpy poisson_rate_estimator.py:928-1041)."""
     if warm:
         w0 = G_half @ w0
     phis_raw = phis @ invG_half
@@ -103,7 +109,8 @@ def _map_count_record_lbfgs(phis, observations, mult, invG_half, s, l, u,
         )
 
     res = minimize_lbfgs(obj, z0, max_iter=max_iter, tol=1e-9,
-                         memory_size=30, xtol=1e-8)
+                         memory_size=30, xtol=1e-8,
+                         linesearch="batched", step_clip=9.21)
     w_star = l_arr + span * jax.nn.sigmoid(res.x)
     return w_star, invG_half @ w_star
 
