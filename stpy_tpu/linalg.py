@@ -245,7 +245,7 @@ def _tri_rec(L, B, nb, precision, Dinv=None, off=0):
 
 def cho_solve_blocked(L: jnp.ndarray, b: jnp.ndarray, nb: int = 512,
                       precision=jax.lax.Precision.HIGHEST,
-                      leaf_inv=None) -> jnp.ndarray:
+                      leaf_inv=None, precision_bwd=None) -> jnp.ndarray:
     """(L Lᵀ)⁻¹ b via two recursive blocked triangular solves.
 
     Both passes draw their (nb, nb) diagonal-block inverses from ONE
@@ -254,7 +254,17 @@ def cho_solve_blocked(L: jnp.ndarray, b: jnp.ndarray, nb: int = 512,
     factor via `leaf_inv` — making the alpha-solve nearly free next to the
     wide variance solve of a GP predict. Defaults to HIGHEST — the solves
     are GEMV/bandwidth-bound, so the extra precision costs nothing.
+
+    precision_bwd optionally sets a DIFFERENT precision for the backward
+    (Lᵀ) pass: for the GP variance W0 solve the forward pass's error is
+    amplified through the whole backward recursion while backward-pass
+    rounding stays local, so HIGHEST-forward/HIGH-backward gets
+    HIGHEST-class accuracy at ~the mean of the two costs (measured
+    benchmarks/exp_r5_serving2.py: var identity bias 3.8e-7 vs 3.7e-7
+    full-HIGHEST, wall 1.069 s vs 1.140 s composite n=16k).
     """
+    if precision_bwd is None:
+        precision_bwd = precision
     n = b.shape[0]
     pad = (-n) % nb
     if pad:
@@ -262,10 +272,11 @@ def cho_solve_blocked(L: jnp.ndarray, b: jnp.ndarray, nb: int = 512,
         Lp = Lp.at[:n, :n].set(L)
         Lp = Lp.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
         bp = jnp.pad(b, ((0, pad), (0, 0)))
-        return cho_solve_blocked(Lp, bp, nb, precision, leaf_inv)[:n]
+        return cho_solve_blocked(Lp, bp, nb, precision, leaf_inv,
+                                 precision_bwd)[:n]
     Dinv = diag_block_invs(L, nb) if leaf_inv is None else leaf_inv
     z = _tri_rec(L, b, nb, precision, Dinv, 0)
-    return _tri_rec_upper(L.T, z, nb, precision, Dinv, 0)
+    return _tri_rec_upper(L.T, z, nb, precision_bwd, Dinv, 0)
 
 
 def tri_solve_blocked_t(L: jnp.ndarray, B: jnp.ndarray, nb: int = 512,

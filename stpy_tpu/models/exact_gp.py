@@ -257,21 +257,23 @@ class GaussianProcess(Estimator, RandomProcess):
             mu = (Mh + Ml)[:, None]
             kss = self.kernel_object.diag(xtest, params_dict)
             # W0 only needs to leave a SMALL residual (error enters q at
-            # second order): HIGH (bf16x3) GEMM substitution is plenty for
-            # SINGLE-atom kernels (identity bias (c) 4.3e-7 se / 9.7e-7
-            # matern32 rel-to-var at n=16k) and ~2x the HIGHEST rate.
-            # COMPOSITE (multi-atom) Grams carry larger k** magnitudes and
-            # HIGH's W0 residual pushes (c) to 5.2e-6 — past the 1e-6 bar
-            # — so they default to HIGHEST (+0.14 s, (c) → ≤3.7e-7;
-            # benchmarks/exp_r4_sematern_floor.py). var_precision
-            # overrides (in single mode it picks the trisolve precision,
-            # here the W0 solve precision).
+            # second order). Default = HIGHEST forward / HIGH backward for
+            # EVERY family (r5): the forward pass's rounding is amplified
+            # through the whole backward recursion while backward rounding
+            # stays local, so the mixed solve is HIGHEST-class accurate at
+            # ~the mean cost — measured var identity bias 3.6e-7 matern32
+            # (was 9.7e-7 at r4's all-HIGH default, a 7% margin on the
+            # 1e-6 bar), 3.8e-7 composite (vs 3.7e-7 all-HIGHEST at +7%
+            # wall), n=16k (benchmarks/exp_r5_serving2.py). var_precision
+            # overrides BOTH passes (in single mode it picks the trisolve
+            # precision, here the W0 solve precision).
             w0_prec = self._var_precision
+            w0_bwd = None
             if w0_prec is None:
-                n_atoms = len(getattr(self.kernel_object, "_atoms", (1,)))
-                w0_prec = (jax.lax.Precision.HIGHEST if n_atoms > 1
-                           else jax.lax.Precision.HIGH)
-            W0 = cho_solve_blocked(L, Kh.T, precision=w0_prec)
+                w0_prec = jax.lax.Precision.HIGHEST
+                w0_bwd = jax.lax.Precision.HIGH
+            W0 = cho_solve_blocked(L, Kh.T, precision=w0_prec,
+                                   precision_bwd=w0_bwd)
             qh, ql = qform_refined(
                 Th, Tl, W0, Kh.T, Kl.T, s,
                 main_precision=(self._qform_precision or "ozaki"))

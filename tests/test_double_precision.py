@@ -55,14 +55,40 @@ def test_var_refine_requires_double():
         GaussianProcess(d=1, var_refine=1)
 
 
-def test_double_mode_rejects_inexpressible_atoms():
-    """General-ν Matérn evaluates Bessel K_ν by quadrature — primitives
-    the generic df interpreter has no rule for. Must raise, naming them
-    (r4: the old se+linear rejection case now SUCCEEDS via the generic
-    tier — see test_double_mode_generic_*)."""
+def test_double_mode_general_nu_matern_fits():
+    """General-ν Matérn is df-expressible since r5 (scatter-free Bessel
+    quadrature, kernels/functions.py:bessel_kv) — the full double-mode GP
+    posterior must run and match the f64 dense solve of the same Gram
+    (r4's rejection of this family is the capability this replaced)."""
+    import jax.numpy as jnp
+
     from stpy_tpu.kernels import KernelFunction
 
     k = KernelFunction(kernel_name="matern", nu=1.2, gamma=0.5, d=1)
+    x, y, xt = _setup(n=48, nt=16, d=1)
+    gp = GaussianProcess(kernel=k, s=0.1, precision="double")
+    gp.fit_gp(x, y)
+    mu, _ = gp.mean_std(xt)
+    K = np.asarray(k.cross(jnp.asarray(x), jnp.asarray(x)), np.float64)
+    Ks = np.asarray(k.cross(jnp.asarray(xt), jnp.asarray(x)), np.float64)
+    mu_ref = Ks @ np.linalg.solve(K + 0.01 * np.eye(len(x)), y)
+    err = np.abs(np.asarray(mu) - mu_ref).max() / np.abs(mu_ref).max()
+    assert err < 1e-5
+
+
+def test_double_mode_rejects_inexpressible_atoms():
+    """Primitives the generic df interpreter has no rule for (here: erf
+    inside a gibbs lengthscale function) must raise, naming them — an
+    honest capability boundary, not a silent f32 fallback."""
+    import jax.scipy.special as jsp
+
+    from stpy_tpu.kernels import KernelFunction
+
+    k = KernelFunction(
+        kernel_name="gibbs",
+        gamma_fun=lambda x: 1.0 + 0.1 * jsp.erf((x * x).sum(axis=1)),
+        d=1,
+    )
     gp = GaussianProcess(kernel=k, precision="double")
     x, y, _ = _setup(n=32, nt=8, d=1)
     with pytest.raises(NotImplementedError, match="no df rule"):
