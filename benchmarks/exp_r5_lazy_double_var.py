@@ -1,17 +1,18 @@
 """Round-5 TPU batch — matrix-free df variance done-bar (VERDICT r5
 task 5) + the mesh-double p=1 real-chip sanity wall (task 4).
 
-1. n=32,768: `IterativeGP(precision='double', var_refine=1)` variance
-   cross-checked against the DENSE double tier's refined variance
-   (both fit on one chip) at 1,024 test points — bar: ≤1e-6-class
-   relative agreement.
-2. n=65,536 (beyond dense HBM): the lazy-double fit + mean_std walls
-   recorded at 128 test points.
-3. n=16,384 p=1 real-chip mesh-double sanity: IterativeGP
-   (precision='double', mesh=1-device) fit + mean wall, vs the
-   single-chip (mesh=None) double tier's mean.
+Stages (ONE PER PROCESS — a TPU RESOURCE_EXHAUSTED wedges the client,
+so in-process isolation is impossible; and the dense-double tier at
+n=32k does not fit one chip: Th+Tl+A+L of the (hi,lo) Gram ≈ 17 GB,
+so the largest co-feasible cross-check is n=24,576):
 
-Run on the TPU host: timeout 7200 python benchmarks/exp_r5_lazy_double_var.py
+  se24k    dense-double vs lazy-double variance, se, n=24,576
+  comp16k  same for the 2-atom composite at n=16,384
+  n65k     beyond-dense-HBM lazy-double walls at n=65,536
+  mesh     n=16,384 p=1 real-chip mesh-double sanity (task 4)
+
+Run on the TPU host:
+  timeout 7200 python benchmarks/exp_r5_lazy_double_var.py <stage>
 """
 
 import os
@@ -95,24 +96,23 @@ def main():
 
     se_fn = lambda: KernelFunction(kernel_name="squared_exponential",
                                    gamma=0.5, d=D)
-    try:
-        cross_check(se_fn, 32768, 1024, "se")
-    except Exception as e:  # RESOURCE_EXHAUSTED etc. — record + fall back
-        print(f"se n=32768 cross-check failed ({type(e).__name__}: "
-              f"{str(e)[:120]}); falling back to n=24576", flush=True)
-        try:
-            cross_check(se_fn, 24576, 1024, "se")
-        except Exception as e2:
-            print(f"se n=24576 also failed: {type(e2).__name__}: "
-                  f"{str(e2)[:120]}", flush=True)
-    try:
+    # One stage per PROCESS (sys.argv): a TPU RESOURCE_EXHAUSTED wedges the
+    # client, so in-process try/except cannot isolate stages (v2 log). The
+    # dense-double tier at n=32k does NOT fit one chip (Th+Tl+A+L of the
+    # (hi,lo) Gram ≈ 17 GB); the largest co-feasible cross-check is n=24576.
+    stage = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if stage in ("se24k", "all"):
+        cross_check(se_fn, 24576, 1024, "se")
+    if stage in ("comp16k", "all"):
         cross_check(mkk, 16384, 1024, "se+matern")
-    except Exception as e:
-        print(f"composite n=16384 cross-check failed: {type(e).__name__}: "
-              f"{str(e)[:120]}", flush=True)
+    if stage not in ("n65k", "mesh", "se24k", "comp16k", "all"):
+        raise SystemExit(f"unknown stage {stage}")
+    if stage not in ("n65k", "all") and stage != "mesh":
+        print("R5_LAZY_DOUBLE_VAR_DONE", flush=True)
+        return
 
     # --- 2. n=65,536: beyond-HBM walls ----------------------------------
-    try:
+    if stage in ("n65k", "all"):
         n2, t2 = 65536, 128
         x2 = jnp.asarray(rng.uniform(-1, 1, (n2, D)), jnp.float32)
         y2 = jnp.asarray(np.sin(3 * np.asarray(x2)[:, :1]), jnp.float32)
@@ -132,12 +132,12 @@ def main():
               f"({t2}) {ms2:.1f}s (inc compile), finite={ok}, "
               f"df residuals {ig2.df_residuals}", flush=True)
         del ig2
-    except Exception as e:
-        print(f"stage 2 (65k walls) failed: {type(e).__name__}: "
-              f"{str(e)[:160]}", flush=True)
 
+    if stage == "n65k":
+        print("R5_LAZY_DOUBLE_VAR_DONE", flush=True)
+        return
     # --- 3. n=16,384 p=1 real-chip mesh-double sanity (task 4) ----------
-    try:
+    if stage in ("mesh", "all"):
         n3 = 16384
         x3 = jnp.asarray(rng.uniform(-1, 1, (n3, D)), jnp.float32)
         y3 = jnp.asarray(np.sin(3 * np.asarray(x3)[:, :1]), jnp.float32)
@@ -164,9 +164,6 @@ def main():
         print(f"mesh-double p=1 n={n3}: fit {fit3:.1f}s, mean(256) "
               f"{mean3:.1f}s (inc compile) | vs single-chip double mean: "
               f"rel {dm3:.2e}", flush=True)
-    except Exception as e:
-        print(f"stage 3 (mesh-double p=1) failed: {type(e).__name__}: "
-              f"{str(e)[:160]}", flush=True)
     print("R5_LAZY_DOUBLE_VAR_DONE", flush=True)
 
 
