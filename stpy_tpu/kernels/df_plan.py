@@ -174,9 +174,14 @@ def _generic_df_gram(kernel_object, i, p, a, b):
     n = a.shape[0]
     # row-chunk large Grams: the interpreter materializes ~a dozen (rows,
     # n_b) pair intermediates per trace; at n = 16k that is multiple GiB
-    # of HBM. lax.map over 2048-row chunks bounds the live set while
-    # tracing the chunk body once.
-    chunk = 2048
+    # of HBM. lax.map over row chunks bounds the live set while tracing
+    # the chunk body once. The chunk ADAPTS to the trace's largest
+    # per-row intermediate: plain (rows, n_b) pair traces keep 2048-row
+    # chunks, but e.g. general-ν matern broadcasts a (rows, n_b, n_quad)
+    # Bessel exponent — 2048-row chunks there are a single 25.8 GB fusion
+    # output at n_b=8192, n_quad=384 (measured compile OOM, r5 generic
+    # done-bar run). Probed on an 8-row abstract trace.
+    chunk = _row_chunk_for_trace(fn, a, b, vals)
     if n > chunk and a.ndim == 2:
         pad = (-n) % chunk
         ap = jnp.pad(a, ((0, pad), (0, 0))) if pad else a
@@ -192,3 +197,61 @@ def _generic_df_gram(kernel_object, i, p, a, b):
         return hs, ls
     (pair,) = df_call(fn, [a, b] + vals, los)
     return pair
+
+
+def _row_chunk_for_trace(fn, a, b, vals, budget_elems=128 * 1024 * 1024,
+                         probe_rows=8):
+    """Row-chunk size whose largest rows-proportional trace intermediate
+    stays under `budget_elems` f32 elements (512 MB) — the df interpreter
+    roughly doubles that (hi, lo) and XLA keeps a few live at once, so
+    the true peak is a small multiple. Probed by abstract-tracing the
+    atom on `probe_rows` rows and scanning the jaxpr for outvars whose
+    leading axis is the row axis. Falls back to the historical 2048 if
+    the probe fails (e.g. an atom that closes over non-traceable state)."""
+    import numpy as np
+    import jax
+
+    try:
+        probe = [jax.ShapeDtypeStruct((probe_rows,) + tuple(a.shape[1:]),
+                                      jnp.asarray(a).dtype),
+                 jax.ShapeDtypeStruct(tuple(jnp.shape(b)),
+                                      jnp.asarray(b).dtype)]
+        for v in vals:
+            probe.append(jax.ShapeDtypeStruct(tuple(jnp.shape(v)),
+                                              jnp.result_type(v)))
+        jaxpr = jax.make_jaxpr(fn)(*probe)
+        per_row = 1
+        for eqn in jaxpr.jaxpr.eqns:
+            for ov in eqn.outvars:
+                sh = getattr(ov.aval, "shape", ())
+                if sh and sh[0] == probe_rows:
+                    per_row = max(per_row, int(np.prod(sh)) // probe_rows)
+        chunk = int(min(2048, max(probe_rows, budget_elems // per_row)))
+        return max(probe_rows, (chunk // 8) * 8)
+    except Exception:
+        return 2048
+
+
+def df_diag_from_desc(kernel_object, params_dict, x, desc, chunk=512):
+    """df (hi, lo) prior diagonal k**(x) — chunked df Grams of x slices
+    with the diagonal extracted, so EVERY atom family (fused Pallas and
+    generic-interpreter alike) gets a double-float-exact k**.
+
+    Why it matters: the predictive variance is the catastrophic
+    cancellation k** − q. With q carried in df (ops/pallas_qform_df) but
+    k** in f32, the variance floors at eps·k**/var — invisible for
+    kappa-normalized families (k** = 1 is exact in f32) but fatal for
+    large-magnitude kernels: polynomial deg-3 has k** ≈ 729 and measured
+    var rel err 1.3e-1 at n=8k from the f32 k** alone (r5 generic
+    done-bar run). Cost: t/chunk tiny (chunk, chunk) df Grams — ~0.1% of
+    the (t, n) cross-Gram. Parity: gauss_procc.py:391-399 (f64 kss)."""
+    hs, ls = [], []
+    n = x.shape[0]
+    for r0 in range(0, n, chunk):
+        xt = x[r0:r0 + chunk]
+        Dh, Dl = df_gram_from_desc(kernel_object, params_dict, xt, xt, desc)
+        hs.append(jnp.diagonal(Dh))
+        ls.append(jnp.diagonal(Dl))
+    if len(hs) == 1:
+        return hs[0], ls[0]
+    return jnp.concatenate(hs), jnp.concatenate(ls)

@@ -46,7 +46,8 @@ class GaussianProcess(Estimator, RandomProcess):
         bounds=None, nu=1.5, kernel=None, d=1, power=2, lam=1.0,
         loss="squared", huber_delta=1.35, hyper="classical", B=1.0,
         svr_eps=0.1, var_precision=None, precision="single", var_refine=0,
-        jitter_ladder=True, df_refine_steps=1, qform_precision=None,
+        jitter_ladder=True, df_refine_steps=None, qform_precision=None,
+        fold_noise=False,
     ):
         # precision of the predictive-variance triangular-solve GEMMs:
         # None -> tri_solve_blocked's HIGH default (bf16x3; measured at
@@ -76,11 +77,17 @@ class GaussianProcess(Estimator, RandomProcess):
         self._var_refine = int(var_refine)
         # double-mode iterative-refinement step count. Each step is one
         # exact df residual GEMV + one Cholesky substitution (~0.08 s at
-        # n=16k); batches M and Y measured ir=1 == ir=2 == ir=3 to every
-        # printed digit on all three 16k families (one exact-residual step
-        # lands on the df representation floor), so the default is 1.
-        # Raise for extreme condition numbers (κ·u_solve approaching 1).
-        self._df_refine_steps = max(0, int(df_refine_steps))
+        # n=16k). Default None resolves PER PLAN at jit build: 1 when
+        # every atom is a fused df family (batches M and Y measured
+        # ir=1 == ir=2 == ir=3 to every printed digit on all three 16k
+        # families — one exact-residual step lands on the df
+        # representation floor), 3 when ANY atom routes through the
+        # generic interpreter tier — high-condition generic kernels need
+        # the extra steps (polynomial deg-3, cond ≈ 1e7: posterior mean
+        # rel err 8.4e-5 at ir=1 vs 8.7e-8 at ir=3, n=8k on-chip, r5
+        # generic done-bar run). Pass an int to pin it.
+        self._df_refine_steps = (None if df_refine_steps is None
+                                 else max(0, int(df_refine_steps)))
         # var_refine qform main-product precision: None -> "ozaki" (r4 —
         # EXACT integer-slice main product, ops/pallas_qform_df.py; var
         # max 6.2e-7 (se) / 9.3e-7 (matern32) at n=16k, the first config
@@ -110,6 +117,28 @@ class GaussianProcess(Estimator, RandomProcess):
                 f"got {jitter_ladder!r}"
             )
         self._jitter_ladder = jitter_ladder
+        # fold_noise=True (r5, double mode + fixed jitter only): fold
+        # s² + jitter into the df Gram DIAGONAL with exact TwoSum ops and
+        # factorize that pair directly, instead of materializing a separate
+        # A = Kh + s²I buffer. The jitter is exactly UNfolded after the
+        # factorization, so iterative refinement and the var_refine qform
+        # target K + s²I — bit-for-bit the same system as fold_noise=False
+        # (only the ~1e-7-class jitter scale differs in its last rounding).
+        # Effect: dense-double fit peak drops from 4n² to 3n² f32 buffers
+        # (Kh, Kl, A, L → A-in-Kh, Kl, L): ~17 GB → ~12.9 GB at n=32,768,
+        # lifting the one-chip dense-double ceiling from n≈24.5k to ≈32k+
+        # (ROADMAP "Accuracy" item 1). Off by default: at n ≤ 24k the
+        # standard layout is equally fast and keeps the unjittered Gram
+        # around for downstream consumers.
+        if fold_noise and precision != "double":
+            raise ValueError("fold_noise requires precision='double'")
+        if fold_noise and jitter_ladder is not False:
+            raise ValueError(
+                "fold_noise requires jitter_ladder=False (the escalating "
+                "ladder needs the pre-jitter Gram live across retries, "
+                "which is exactly the buffer fold_noise removes)"
+            )
+        self._fold_noise = bool(fold_noise)
         self.s = s
         self.d = d
         self.x = None
@@ -171,6 +200,11 @@ class GaussianProcess(Estimator, RandomProcess):
     def _build_df_jits(self):
         HIP = jax.lax.Precision.HIGHEST
         desc = self._df_atom_desc()
+        # resolve the plan-aware refinement default (see __init__)
+        ir_steps = self._df_refine_steps
+        if ir_steps is None:
+            ir_steps = 3 if any(d[1] == "generic" for d in desc) else 1
+        self._df_refine_steps_resolved = ir_steps
 
         def fit(x, y, params_dict, s):
             from stpy_tpu.ops.compensated import gemv_df
@@ -178,6 +212,47 @@ class GaussianProcess(Estimator, RandomProcess):
 
             n = x.shape[0]
             Kh, Kl = self._df_gram(params_dict, x, x, desc)
+            if self._fold_noise:
+                # fold s² + jitter into the df diagonal EXACTLY (TwoSum /
+                # TwoProd are error-free), factorize the folded pair, then
+                # unfold the jitter — the separate A = Kh + s²I buffer
+                # never exists, cutting fit peak from 4n² to 3n² f32
+                # buffers (see __init__). All adds below preserve the df
+                # value exactly; only the (hi, lo) split is renormalized.
+                from stpy_tpu.ops.pallas_gram_df import _two_prod, _two_sum
+
+                base = default_jitter(Kh.dtype)
+                s2h, s2e = _two_prod(s, s)
+                jit_ = base * (jnp.mean(jnp.diagonal(Kh)) + s2h)
+                ch, ce = _two_sum(s2h, jit_)
+                i = jnp.arange(n)
+                dh, de = _two_sum(Kh[i, i], ch)
+                Kh = Kh.at[i, i].set(dh)
+                Kl = Kl.at[i, i].add(de + ce + s2e)
+                L_ = jnp.linalg.cholesky(Kh)
+                ok_ = jnp.all(jnp.isfinite(L_))
+                # exact unfold of the jitter: refinement and the qform
+                # target A = K + s²I (the jitter lives only in L, exactly
+                # like the fold_noise=False path, whose residual excludes
+                # it so refinement removes the jitter bias from alpha)
+                uh, ue = _two_sum(Kh[i, i], -jit_)
+                Kh = Kh.at[i, i].set(uh)
+                Kl = Kl.at[i, i].add(ue)
+                a_h = cho_solve_blocked(L_, y)
+                a_l = jnp.zeros_like(a_h)
+                for _ in range(ir_steps):
+                    # the folded diagonal already carries s² in df, so the
+                    # residual is just y − (K + s²I)·α with one df GEMV
+                    Ph, Pl = gemv_df(Kh, Kl, a_h, vl=a_l)
+                    rh, re = _two_sum(y, -Ph[:, None])
+                    r = rh + (re - Pl[:, None])
+                    d = cho_solve_blocked(L_, r)
+                    nh, e = _two_sum(a_h, d)
+                    a_h, a_l = nh, a_l + e
+                alpha = jnp.concatenate([a_h, a_l], axis=1)
+                if self._var_refine > 0:
+                    return L_, alpha, ok_, jit_, Kh, Kl
+                return L_, alpha, ok_, jit_
             if self._jitter_ladder == "recompute":
                 # Kh stays live for refinement regardless; rebuilding
                 # A = Kh + (s²+j)I per retry saves carrying a second n²
@@ -211,7 +286,7 @@ class GaussianProcess(Estimator, RandomProcess):
             a_h = cho_solve_blocked(L_, y)
             a_l = jnp.zeros_like(a_h)
             s2h, s2e = _two_prod(s, s)
-            for _ in range(self._df_refine_steps):
+            for _ in range(ir_steps):
                 Ph, Pl = gemv_df(Kh, Kl, a_h, vl=a_l)
                 qh, qe = _two_prod(s2h, a_h)
                 qe = qe + (s2e * a_h + s2h * a_l)
@@ -249,13 +324,21 @@ class GaussianProcess(Estimator, RandomProcess):
             iteration and no second solve are needed (ops/
             pallas_qform_df.py; replaces the r2 scheme that cost ~2 s and
             two extra n³ solves per pass)."""
+            from stpy_tpu.kernels.df_plan import df_diag_from_desc
             from stpy_tpu.ops.compensated import gemv_df
+            from stpy_tpu.ops.pallas_gram_df import _two_sum
             from stpy_tpu.ops.pallas_qform_df import qform_refined
 
             Kh, Kl = self._df_gram(params_dict, xtest, x, desc)  # (t, n)
             Mh, Ml = gemv_df(Kh, Kl, alpha[:, :1], vl=alpha[:, 1:])
             mu = (Mh + Ml)[:, None]
-            kss = self.kernel_object.diag(xtest, params_dict)
+            # k** as a df pair: an f32 k** floors the k** − q cancellation
+            # at eps·k**/var — fatal for large-magnitude kernels
+            # (polynomial deg-3: k** ≈ 729, measured var rel err 1.3e-1
+            # from the f32 k** alone; kappa-normalized families are
+            # value-identical either way). See df_diag_from_desc.
+            ksh, ksl = df_diag_from_desc(self.kernel_object, params_dict,
+                                         xtest, desc)
             # W0 only needs to leave a SMALL residual (error enters q at
             # second order). Default = HIGHEST forward / HIGH backward for
             # EVERY family (r5): the forward pass's rounding is amplified
@@ -277,7 +360,10 @@ class GaussianProcess(Estimator, RandomProcess):
             qh, ql = qform_refined(
                 Th, Tl, W0, Kh.T, Kl.T, s,
                 main_precision=(self._qform_precision or "ozaki"))
-            var = jnp.maximum((kss - qh) - ql, 1e-30)
+            # df cancellation k** − q: TwoSum keeps the subtraction exact,
+            # the lo limbs fold in last
+            vh, ve = _two_sum(ksh, -qh)
+            var = jnp.maximum(vh + ((ve + ksl) - ql), 1e-30)
             return mu, jnp.sqrt(var)[:, None]
 
         self._fit_fn = jax.jit(fit)
@@ -285,15 +371,20 @@ class GaussianProcess(Estimator, RandomProcess):
         # (n, 1) hi column kept in self.A for legacy consumers
         if self._var_refine > 0:
             _pjit = jax.jit(predict_refined)
+            # fold_noise: the cached train df Gram already carries s² on
+            # its diagonal (exact fold, see fit), so the qform's separate
+            # s²·W term must be zero — same system either way
             self._predict_fn = lambda L, A, x, xt, pd: _pjit(
                 L, self._A_df, self._df_train[0], self._df_train[1], x, xt,
-                pd, jnp.asarray(self.s, x.dtype)
+                pd, jnp.asarray(0.0 if self._fold_noise else self.s,
+                                x.dtype)
             )
 
             def fit_predict(x, y, params_dict, s, xtest):
                 L_, alpha, ok_, jit_, Th, Tl = fit(x, y, params_dict, s)
+                s_q = jnp.zeros_like(s) if self._fold_noise else s
                 mu, sd = predict_refined(L_, alpha, Th, Tl, x, xtest,
-                                         params_dict, s)
+                                         params_dict, s_q)
                 return (L_, alpha, ok_, jit_, Th, Tl), (mu, sd)
         else:
             _pjit = jax.jit(predict)

@@ -224,6 +224,64 @@ def test_double_mode_generic_composite_se_plus_linear_matches_f64():
             / std_ref.max()) < 1e-7               # measured 4.7e-9
 
 
+def test_generic_row_chunk_adapts_to_trace_footprint():
+    """r5: the generic tier's row chunk must shrink for traces with big
+    broadcast intermediates — general-ν matern's (rows, n_b, n_quad)
+    Bessel exponent at 2048-row chunks was a single 25.8 GB fusion
+    output at n_b=8192 (measured compile OOM on-chip) — while plain
+    (rows, n_b) traces keep the fast 2048-row chunks."""
+    from stpy_tpu.kernels.df_plan import _row_chunk_for_trace
+
+    d = 4
+    a = jnp.zeros((8192, d), jnp.float32)
+    b = jnp.zeros((8192, d), jnp.float32)
+
+    def probe(k):
+        atom = k._atoms[0]
+        p = k.params_dict["0"]
+        keys = sorted(p)
+        fn = lambda aa, bb, *v: atom(dict(zip(keys, v)), aa, bb)
+        return _row_chunk_for_trace(fn, a, b, [p[kk] for kk in keys])
+
+    ch_bessel = probe(KernelFunction(kernel_name="matern", nu=1.2,
+                                     gamma=0.8, d=d))
+    ch_poly = probe(KernelFunction(kernel_name="polynomial", power=3, d=d))
+    assert 8 <= ch_bessel <= 64, ch_bessel        # 384-node quadrature
+    assert ch_poly == 2048, ch_poly               # pairwise-only trace
+    assert ch_bessel % 8 == 0
+
+
+def test_plan_aware_refine_default_and_df_diag():
+    """r5: df_refine_steps=None resolves to 1 for fused-family plans and
+    3 for plans with a generic atom (polynomial deg-3 at ir=1 measured
+    8.4e-5 posterior mean on-chip vs 8.7e-8 at ir=3); and the prior diag
+    k** must be df-exact — an f32 k** floors the k**−q variance
+    cancellation at eps·k**/var (polynomial k** ≈ 729 → var rel err
+    1.3e-1 measured on-chip before the fix)."""
+    from stpy_tpu.kernels.df_plan import df_atom_desc, df_diag_from_desc
+
+    gp_f = GaussianProcess(gamma=0.5, s=0.1, d=2, precision="double")
+    gp_f._build_jits()
+    assert gp_f._df_refine_steps_resolved == 1
+    kp = KernelFunction(kernel_name="polynomial", power=3, d=2)
+    gp_g = GaussianProcess(kernel=kp, s=0.1, precision="double")
+    gp_g._build_jits()
+    assert gp_g._df_refine_steps_resolved == 3
+    gp_p = GaussianProcess(kernel=KernelFunction(kernel_name="polynomial",
+                                                 power=3, d=2),
+                           s=0.1, precision="double", df_refine_steps=2)
+    gp_p._build_jits()
+    assert gp_p._df_refine_steps_resolved == 2    # explicit pin wins
+
+    rng = np.random.default_rng(0)
+    x64 = rng.uniform(-1, 1, (700, 2)).astype(np.float32).astype(np.float64)
+    x = jnp.asarray(x64, jnp.float32)
+    dh, dl = df_diag_from_desc(kp, {}, x, df_atom_desc(kp), chunk=512)
+    ref = ((x64 * x64).sum(1) + 1.0) ** 3          # k(x,x), exactly
+    got = np.asarray(dh, np.float64) + np.asarray(dl, np.float64)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
 # ---------------------------------------------------------------------------
 # r4 regressions: the three compounding floors found by the gibbs TPU run
 # ---------------------------------------------------------------------------

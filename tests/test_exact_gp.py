@@ -357,6 +357,38 @@ def test_recompute_ladder_matches_ladder(data1d):
         GaussianProcess(jitter_ladder="sometimes")
 
 
+def test_fold_noise_matches_standard_double(data1d):
+    """fold_noise=True (r5 — s²+jitter folded exactly into the df Gram
+    diagonal, cutting dense-double fit peak from 4n² to 3n² buffers so
+    n=32k fits one chip) must reproduce the standard double-tier posterior:
+    the fold/unfold TwoSum sequence is error-free, so the factorized system
+    and the refinement target are value-identical."""
+    x, y, xt = data1d
+    for vr in (0, 1):
+        gp_s = GaussianProcess(gamma=0.5, s=0.1, d=1, precision="double",
+                               var_refine=vr, jitter_ladder=False)
+        gp_f = GaussianProcess(gamma=0.5, s=0.1, d=1, precision="double",
+                               var_refine=vr, jitter_ladder=False,
+                               fold_noise=True)
+        gp_s.fit_gp(x, y)
+        gp_f.fit_gp(x, y)
+        mu_s, sd_s = gp_s.mean_std(xt)
+        mu_f, sd_f = gp_f.mean_std(xt)
+        assert np.allclose(np.asarray(mu_s), np.asarray(mu_f),
+                           atol=1e-10), vr
+        assert np.allclose(np.asarray(sd_s), np.asarray(sd_f),
+                           atol=1e-10), vr
+        assert gp_f.fit_status["cholesky_ok"] is True
+        # the fused serving call takes the same branch
+        mu2, sd2 = gp_f.fit_predict(x, y, xt)
+        assert np.allclose(np.asarray(mu2), np.asarray(mu_f), atol=1e-12)
+        assert np.allclose(np.asarray(sd2), np.asarray(sd_f), atol=1e-12)
+    with pytest.raises(ValueError):
+        GaussianProcess(fold_noise=True)                # needs double
+    with pytest.raises(ValueError):
+        GaussianProcess(precision="double", fold_noise=True)  # needs fixed j
+
+
 def test_recompute_ladder_escalates_like_safe_cholesky():
     """On an indefinite matrix both ladders must escalate through the same
     rungs and land on the same jitter/factor."""
