@@ -81,7 +81,8 @@ def _generic_atom_missing(kernel_object, i, atom):
     return missing_primitives(lambda aa, bb: atom(p, aa, bb), a, b)
 
 
-def df_gram_from_desc(kernel_object, params_dict, a, b, desc):
+def df_gram_from_desc(kernel_object, params_dict, a, b, desc,
+                      strip_fold=None):
     """(hi, lo) Gram of the (possibly composite) kernel: per-atom df
     Pallas Grams folded with barrier-guarded df add/mul.
 
@@ -90,7 +91,16 @@ def df_gram_from_desc(kernel_object, params_dict, a, b, desc):
     γ = γ_hi + γ_lo through a df reciprocal. When absent and the call is
     EAGER (IterativeGP's chunked df tier), the value-keyed shadow is
     consulted directly; a traced call without lo leaves falls back to
-    f32-rounded semantics (γ = f32(γ))."""
+    f32-rounded semantics (γ = f32(γ)).
+
+    strip_fold (int, default off): for atoms AFTER the first, build the
+    atom's Gram in `strip_fold`-row strips and fold each strip into the
+    accumulated pair in place (dynamic_update_slice — XLA reuses the
+    dead buffer), so the fold's peak is 2n² + strip instead of out-pair
+    + atom-pair = 4n². This is what lets a COMPOSITE dense-double fit
+    reach n=32k on one 16 GB chip (GaussianProcess(fold_noise=True)
+    passes 4096); off by default — at n ≤ 24k the full-atom fold is one
+    Pallas call per atom and equally fast."""
     import jax
 
     from stpy_tpu.ops.pallas_gram_df import _df_add, _df_mul, gram_df
@@ -100,43 +110,52 @@ def df_gram_from_desc(kernel_object, params_dict, a, b, desc):
         p = {**kernel_object.params_dict[str(i)],
              **params_dict.get(str(i), {})}
         if fam == "generic":
-            Kh, Kl = _generic_df_gram(kernel_object, i, p, a, b)
-            if op == "+":
-                outh, outl = _df_add(outh, outl, Kh, Kl)
-            elif op == "*":
-                outh, outl = _df_mul(outh, outl, Kh, Kl)
-            else:
-                outh, outl = Kh, Kl
-            continue
-        gamma = p[gkey]
-        kappa = p.get("kappa", 1.0)
-        gamma_lo = p.get(gkey + "__lo")
-        kappa_lo = p.get("kappa__lo")
-        if gamma_lo is None and not isinstance(gamma, jax.core.Tracer):
-            lo = kernel_object.lo_limbs(str(i))
-            gamma_lo = lo.get(gkey)
-            if kappa_lo is None and lo.get("kappa") is not None:
-                kappa_lo = lo["kappa"].reshape(jnp.shape(kappa))
-        aa = a if group is None else a[:, jnp.asarray(group)]
-        bb = b if group is None else b[:, jnp.asarray(group)]
-        if gkey == "ard_gamma" and group is not None:
-            idx = jnp.asarray(group)
-            gamma = jnp.asarray(gamma).reshape(-1)[idx]
-            if gamma_lo is not None:
-                gamma_lo = jnp.asarray(gamma_lo).reshape(-1)[idx]
-        if not isinstance(kappa, jax.core.Tracer):
-            # concrete κ keeps the host fast path in gram_df (which does
-            # its own f64 split); only a traced κ needs the lo leaf
-            kappa = kappa if isinstance(kappa, (int, float)) else (
-                jnp.asarray(kappa))
-        Kh, Kl = gram_df(aa, bb, gamma, kappa, family=fam, nu=nu,
-                         gamma_lo=gamma_lo, kappa_lo=kappa_lo)
-        if op == "+":
-            outh, outl = _df_add(outh, outl, Kh, Kl)
-        elif op == "*":
-            outh, outl = _df_mul(outh, outl, Kh, Kl)
+            def build(ar, _i=i, _p=p):
+                return _generic_df_gram(kernel_object, _i, _p, ar, b)
         else:
-            outh, outl = Kh, Kl
+            gamma = p[gkey]
+            kappa = p.get("kappa", 1.0)
+            gamma_lo = p.get(gkey + "__lo")
+            kappa_lo = p.get("kappa__lo")
+            if gamma_lo is None and not isinstance(gamma, jax.core.Tracer):
+                lo = kernel_object.lo_limbs(str(i))
+                gamma_lo = lo.get(gkey)
+                if kappa_lo is None and lo.get("kappa") is not None:
+                    kappa_lo = lo["kappa"].reshape(jnp.shape(kappa))
+            bb = b if group is None else b[:, jnp.asarray(group)]
+            if gkey == "ard_gamma" and group is not None:
+                idx = jnp.asarray(group)
+                gamma = jnp.asarray(gamma).reshape(-1)[idx]
+                if gamma_lo is not None:
+                    gamma_lo = jnp.asarray(gamma_lo).reshape(-1)[idx]
+            if not isinstance(kappa, jax.core.Tracer):
+                # concrete κ keeps the host fast path in gram_df (which
+                # does its own f64 split); only a traced κ needs the lo
+                # leaf
+                kappa = kappa if isinstance(kappa, (int, float)) else (
+                    jnp.asarray(kappa))
+
+            def build(ar, _fam=fam, _nu=nu, _g=gamma, _k=kappa,
+                      _gl=gamma_lo, _kl=kappa_lo, _bb=bb, _group=group):
+                ar = ar if _group is None else ar[:, jnp.asarray(_group)]
+                return gram_df(ar, _bb, _g, _k, family=_fam, nu=_nu,
+                               gamma_lo=_gl, kappa_lo=_kl)
+
+        fold = _df_add if op == "+" else (_df_mul if op == "*" else None)
+        if (fold is None or outh is None or not strip_fold
+                or a.shape[0] <= strip_fold):
+            Kh, Kl = build(a)
+            if fold is None:
+                outh, outl = Kh, Kl
+            else:
+                outh, outl = fold(outh, outl, Kh, Kl)
+        else:
+            for r0 in range(0, a.shape[0], strip_fold):
+                kh, kl = build(a[r0:r0 + strip_fold])
+                c = kh.shape[0]
+                oh, ol = fold(outh[r0:r0 + c], outl[r0:r0 + c], kh, kl)
+                outh = jax.lax.dynamic_update_slice(outh, oh, (r0, 0))
+                outl = jax.lax.dynamic_update_slice(outl, ol, (r0, 0))
     return outh, outl
 
 

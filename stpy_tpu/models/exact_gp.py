@@ -191,11 +191,16 @@ class GaussianProcess(Estimator, RandomProcess):
 
     def _df_gram(self, params_dict, a, b, desc):
         """(hi, lo) Gram of the (possibly composite) kernel (shared
-        helper: kernels/df_plan.py)."""
+        helper: kernels/df_plan.py). In fold_noise (compact-memory) mode
+        composite atoms fold strip-wise in place — 2n² + strip peak
+        instead of 4n², the piece that lets a 2-atom 32k dense-double
+        fit hold one chip."""
         from stpy_tpu.kernels.df_plan import df_gram_from_desc
 
         return df_gram_from_desc(self.kernel_object, params_dict, a, b,
-                                 desc)
+                                 desc,
+                                 strip_fold=4096 if self._fold_noise
+                                 else None)
 
     def _build_df_jits(self):
         HIP = jax.lax.Precision.HIGHEST

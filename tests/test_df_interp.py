@@ -251,6 +251,31 @@ def test_generic_row_chunk_adapts_to_trace_footprint():
     assert ch_bessel % 8 == 0
 
 
+def test_strip_fold_matches_full_fold():
+    """r5: strip_fold builds every atom after the first in row strips and
+    folds them in place (2n² + strip peak instead of 4n² — the piece that
+    lets composite dense-double fits reach n=32k on one chip). Must be
+    value-identical to the full-atom fold: same df adds, just sliced."""
+    from stpy_tpu.kernels.df_plan import df_atom_desc, df_gram_from_desc
+
+    def mk():
+        return (KernelFunction(kernel_name="squared_exponential",
+                               gamma=0.7, d=3)
+                + KernelFunction(kernel_name="matern", nu=1.5, gamma=0.9,
+                                 d=3)
+                + KernelFunction(kernel_name="linear", d=3))  # generic atom
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (200, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(-1, 1, (130, 3)), jnp.float32)
+    k1, k2 = mk(), mk()
+    Kh0, Kl0 = df_gram_from_desc(k1, {}, a, b, df_atom_desc(k1))
+    Kh1, Kl1 = df_gram_from_desc(k2, {}, a, b, df_atom_desc(k2),
+                                 strip_fold=64)   # 200 rows → 4 strips
+    assert np.array_equal(np.asarray(Kh0), np.asarray(Kh1))
+    assert np.array_equal(np.asarray(Kl0), np.asarray(Kl1))
+
+
 def test_plan_aware_refine_default_and_df_diag():
     """r5: df_refine_steps=None resolves to 1 for fused-family plans and
     3 for plans with a generic atom (polynomial deg-3 at ir=1 measured
