@@ -218,15 +218,22 @@ def _generic_df_gram(kernel_object, i, p, a, b):
     return pair
 
 
-def _row_chunk_for_trace(fn, a, b, vals, budget_elems=128 * 1024 * 1024,
+def _row_chunk_for_trace(fn, a, b, vals, budget_elems=768 * 1024 * 1024,
                          probe_rows=8):
-    """Row-chunk size whose largest rows-proportional trace intermediate
-    stays under `budget_elems` f32 elements (512 MB) — the df interpreter
-    roughly doubles that (hi, lo) and XLA keeps a few live at once, so
-    the true peak is a small multiple. Probed by abstract-tracing the
-    atom on `probe_rows` rows and scanning the jaxpr for outvars whose
-    leading axis is the row axis. Falls back to the historical 2048 if
-    the probe fails (e.g. an atom that closes over non-traceable state)."""
+    """Row-chunk size whose rows-proportional trace intermediates fit
+    `budget_elems` f32 elements (3 GB) IN AGGREGATE. The df trace is
+    barrier-guarded EFT code (optimization_barrier blocks both fusion
+    and buffer reuse), so on big-broadcast traces ~all of its
+    rows-proportional intermediates are live at once — the first version
+    of this probe budgeted only the single largest one and a (512, 512,
+    384) Bessel diag chunk still runtime-OOM'd the chip with ~20 384 MB
+    temps resident (r5 generic done-bar run, take 2). Probed by
+    abstract-tracing the atom on `probe_rows` rows: per_row = the
+    largest intermediate's per-row elements, multiplicity = how many
+    intermediates are STRICTLY bigger than a plain (rows, n_b) pair row
+    (only those dominate; plain traces keep multiplicity 1 and the fast
+    2048-row chunks). Falls back to the historical 2048 if the probe
+    fails (e.g. an atom that closes over non-traceable state)."""
     import numpy as np
     import jax
 
@@ -239,13 +246,22 @@ def _row_chunk_for_trace(fn, a, b, vals, budget_elems=128 * 1024 * 1024,
             probe.append(jax.ShapeDtypeStruct(tuple(jnp.shape(v)),
                                               jnp.result_type(v)))
         jaxpr = jax.make_jaxpr(fn)(*probe)
-        per_row = 1
+        n_b = int(jnp.shape(b)[0]) if jnp.shape(b) else 1
+        per_row, mult = 1, 0
         for eqn in jaxpr.jaxpr.eqns:
             for ov in eqn.outvars:
                 sh = getattr(ov.aval, "shape", ())
                 if sh and sh[0] == probe_rows:
-                    per_row = max(per_row, int(np.prod(sh)) // probe_rows)
-        chunk = int(min(2048, max(probe_rows, budget_elems // per_row)))
+                    elems = int(np.prod(sh)) // probe_rows
+                    per_row = max(per_row, elems)
+                    if elems > 2 * n_b:      # bigger than a pair row
+                        mult += 1
+        # the probe traces the PLAIN atom; the df interpreter expands
+        # every float primitive into ~8 barrier-guarded EFT ops whose
+        # intermediates all stay live (barriers block buffer reuse), so
+        # scale the big-intermediate count by that expansion factor
+        chunk = int(min(2048, max(
+            probe_rows, budget_elems // (per_row * max(1, 8 * mult)))))
         return max(probe_rows, (chunk // 8) * 8)
     except Exception:
         return 2048
