@@ -6,9 +6,13 @@ tier (`GaussianProcess(precision="double")`, models/exact_gp.py) and the
 matrix-free double tier (`IterativeGP(precision="double")`,
 parallel/iterative.py).
 
-Two tiers per atom:
+Three tiers per atom:
   * SE/ARD/Matérn(½, 3/2, 5/2)/laplace → the fused Pallas df Gram
     (ops/pallas_gram_df.py), MXU speed;
+  * general-ν Matérn → the dedicated node-scanned df Bessel Gram
+    (ops/matern_df.py): the K_ν quadrature evaluated by scanning nodes
+    with compensated (hi, lo) accumulation, 2048-row chunks where the
+    interpreter's broadcast trace forces ~40 (r5 ROADMAP item);
   * ANY other jnp-expressible family (gibbs, polynomial, tanh, linear,
     step, wiener, spectral, custom, …) → the generic jaxpr df interpreter
     (ops/df_interp.py), ~5-10x the f32 cost, pure VPU — a correctness
@@ -16,10 +20,10 @@ Two tiers per atom:
     (the torch reference is float64 end-to-end for EVERY kernel,
     stpy/continuous_processes/gauss_procc.py:152,367-399).
 Atoms whose trace contains a primitive the interpreter has no df rule
-for still raise, listing the blocking primitives. Since r5 no shipped
-kernel family hits that boundary: general-ν matern (Bessel K_ν by fixed
-trapezoid quadrature, kernels/functions.py:bessel_kv) is scatter-free
-and routes through the generic tier like any other jnp atom.
+for still raise, listing the blocking primitives. No shipped kernel
+family hits that boundary (general-ν matern's scatter-free quadrature,
+kernels/functions.py:bessel_kv, remains df-expressible through the
+generic tier too — the dedicated family is the fast path).
 """
 
 from __future__ import annotations
@@ -51,6 +55,13 @@ def df_atom_desc(kernel_object):
                 fam, gkey = "matern", "ard_gamma"
             elif name == "laplace":
                 fam, gkey, nu = "matern", "gamma", 0.5
+            elif name == "matern":
+                # general ν: the dedicated node-scanned df Bessel tier
+                # (ops/matern_df.py) — 2048-row chunks where the generic
+                # interpreter's broadcast trace forces ~40 (r5 ROADMAP)
+                fam, gkey = "matern_gen", "gamma"
+            elif name == "ard_matern":
+                fam, gkey = "matern_gen", "ard_gamma"
         if fam is None:
             # generic jaxpr-interpreter tier: supported iff every
             # primitive in the atom's trace has a df rule
@@ -138,6 +149,11 @@ def df_gram_from_desc(kernel_object, params_dict, a, b, desc,
             def build(ar, _fam=fam, _nu=nu, _g=gamma, _k=kappa,
                       _gl=gamma_lo, _kl=kappa_lo, _bb=bb, _group=group):
                 ar = ar if _group is None else ar[:, jnp.asarray(_group)]
+                if _fam == "matern_gen":
+                    from stpy_tpu.ops.matern_df import gram_matern_gen_df
+
+                    return gram_matern_gen_df(ar, _bb, _g, _k, nu=_nu,
+                                              gamma_lo=_gl, kappa_lo=_kl)
                 return gram_df(ar, _bb, _g, _k, family=_fam, nu=_nu,
                                gamma_lo=_gl, kappa_lo=_kl)
 

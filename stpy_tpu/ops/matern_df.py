@@ -7,11 +7,20 @@ atom's BROADCAST trace, whose (rows, n_b, n_quad) Bessel exponent keeps
 ~20 barrier-guarded EFT intermediates live at once and forces the
 adaptive row chunk down to ~40 rows (kernels/df_plan.py:
 _row_chunk_for_trace).  This module is the ROADMAP's "dedicated df
-Bessel" fix: the SAME quadrature (T = 24, 384 nodes — < 1e-13 relative
-in f64 for ν ∈ [0.3, 3.3]) evaluated by SCANNING the nodes with
+Bessel" fix: the same integral evaluated by SCANNING the nodes with
 compensated (hi, lo) accumulation, so the live set per row chunk is a
 handful of (rows, n_b) pairs and the chunk goes back to 2048 rows
 (~10x fewer map steps, no giant fusions).
+
+The node count is tuned to the df error budget, not the f64 one: the
+f32 atom (bessel_kv) keeps T = 24 / 384 nodes (< 1e-13 relative in f64
+for ν ∈ [0.3, 3.3]); this tier defaults to T = 20 / 128 nodes, measured
+≤ 2.4e-13 max relative vs scipy.special.kv over ν ∈ {0.3, 0.7, 1.2,
+2.7, 3.3} × x ∈ [1e-6, 31.6] (400-point logspace sweep) — two orders
+below the ~1e-9 df arithmetic floor, at 3x fewer node scans.  (96
+nodes / T = 18 degrades to ~7e-9 — too close to the floor.)  The arg
+clamp at 1e-6 guarantees the integrand is fully decayed by t = T:
+x·cosh(20) ≥ 242 for every evaluated x.
 
 Semantics match kernels/functions.py:matern in f64:
     k = κ · clip(c_ν · arg^ν · K_ν(arg), 0, 1),  arg = √(2ν)·‖x−y‖/γ
@@ -108,7 +117,7 @@ def _where_pair(mask, a, b):
 
 def gram_matern_gen_df(x, y, gamma, kappa=1.0, *, nu,
                        gamma_lo=None, kappa_lo=None,
-                       T=24.0, n_quad=384, row_chunk=None,
+                       T=20.0, n_quad=128, row_chunk=None,
                        budget_elems=48 * 1024 * 1024):
     """(hi, lo) f32 Gram of the general-ν Matérn kernel, node-scanned.
 

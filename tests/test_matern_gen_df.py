@@ -79,6 +79,61 @@ def test_df_gram_traced_gamma_lo_restores_f64_meaning():
     assert err0 > 10 * err, (err0, err)
 
 
+def test_df_plan_routes_general_nu_to_dedicated_family():
+    """General-ν matern (plain and ARD) routes to fam="matern_gen", the
+    half-integer fast paths stay on the fused Pallas family."""
+    from stpy_tpu.kernels import KernelFunction
+    from stpy_tpu.kernels.df_plan import df_atom_desc
+
+    k = KernelFunction(kernel_name="matern", nu=1.2, gamma=0.8, d=3)
+    assert [f for (_, f, *_ ) in df_atom_desc(k)] == ["matern_gen"]
+    ka = KernelFunction(kernel_name="ard_matern", nu=0.7,
+                        ard_gamma=np.array([0.5, 0.9, 1.1]), d=3)
+    assert [f for (_, f, *_ ) in df_atom_desc(ka)] == ["matern_gen"]
+    kh = KernelFunction(kernel_name="matern", nu=1.5, gamma=0.8, d=3)
+    assert [f for (_, f, *_ ) in df_atom_desc(kh)] == ["matern"]
+
+
+def test_gp_double_composite_with_general_nu_matches_f64():
+    """fit_predict in double mode on se + general-ν matern: the df
+    algebra folds a fused atom with the dedicated node-scanned family;
+    posterior mean must match the host f64 dense solve (the
+    gauss_procc.py:152 every-kernel-f64 contract)."""
+    from scipy.linalg import solve_triangular
+
+    from stpy_tpu.kernels import KernelFunction
+    from stpy_tpu.models import GaussianProcess
+
+    rng = np.random.default_rng(5)
+    n, nt, d, s = 96, 24, 3, 0.1
+    x = rng.uniform(-1, 1, (n, d)).astype(np.float32).astype(np.float64)
+    y = np.sin(3 * x[:, :1])
+    xt = rng.uniform(-1, 1, (nt, d)).astype(np.float32).astype(np.float64)
+
+    mk = lambda: (KernelFunction(kernel_name="squared_exponential",
+                                 gamma=0.7, d=d)
+                  + KernelFunction(kernel_name="matern", nu=1.2,
+                                   gamma=0.8, d=d))
+    gp = GaussianProcess(kernel=mk(), s=s, precision="double")
+    mu, sd = gp.fit_predict(jnp.asarray(x, jnp.float32),
+                            jnp.asarray(y, jnp.float32),
+                            jnp.asarray(xt, jnp.float32))
+
+    def k64(a, b):
+        sq = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        se = np.exp(-sq / (2 * 0.49))
+        return se + _ref(a, b, np.full(d, 0.8), 1.2)
+
+    K = k64(x, x)
+    L = np.linalg.cholesky(K + s * s * np.eye(n))
+    al = solve_triangular(L.T, solve_triangular(L, y, lower=True),
+                          lower=False)
+    mu64 = (k64(xt, x) @ al).ravel()
+    err = np.abs(np.asarray(mu, np.float64).ravel() - mu64).max() \
+        / np.abs(mu64).max()
+    assert err < 1e-6, err
+
+
 def test_df_gram_row_chunking_matches_single_chunk():
     rng = np.random.default_rng(3)
     n, m, d = 50, 21, 3
